@@ -1,0 +1,428 @@
+"""Single-device tiled S-Plus executor.
+
+TPU-first design (SURVEY §7): instead of translating the reference's
+Gustavson CSR×CSR walk with per-thread heaps
+(reference: similaripy/cython_code/s_plus.h:265-453), similarity tiles are
+computed as dense MXU matmuls over on-the-fly densified sparse tiles, with
+the S-Plus normalization fused as an elementwise epilogue and a streaming
+per-row top-K merge carried across column tiles — the reference's TopK heap
+(s_plus.h:39-64) becomes a (rows × k) value/index carry merged with
+`lax.top_k`, and its column-blocked accumulator (s_plus.h:71-240,306-311)
+becomes the column-tile grid.
+
+Execution layout:
+  - target rows are processed in row panels (data-parallel axis; maps to
+    the reference's OpenMP row loop, s_plus.h:337-338)
+  - matrix2 columns are processed in column tiles, scanned inside one jit
+    (maps to the reference's cache-blocking loop, s_plus.h:358-410)
+  - matrix1 panel and matrix2 tiles are densified on device by scatter;
+    the similarity tile never materializes beyond (panel × tile) in HBM.
+
+Candidate semantics: an output cell is a candidate iff its accumulated
+product xy != 0 — the dense-tile proxy for the reference's structural
+non-zero tracking (s_plus.h:112-117). Non-candidates and thresholded or
+filtered cells are set to -inf and can never enter the top-K.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.env import hbm_budget_bytes
+from .params import SPlusParams
+from .preprocess import Preprocessed
+
+NEG_INF = float("-inf")
+
+
+# ---------------------------------------------------------------------------
+# Tiling plan
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class TilePlan:
+    panel_rows: int  # TRP: target rows per panel
+    tile_cols: int  # TC: matrix2 columns per tile
+    u_pad: int  # padded inner (common) dimension
+    n_panels: int
+    n_tiles: int
+
+
+def plan_tiles(
+    n_targets: int,
+    n_common: int,
+    n_cols: int,
+    k: int,
+    itemsize: int,
+    block_size_hint: Optional[int],
+    budget_bytes: Optional[int] = None,
+) -> TilePlan:
+    """Choose panel/tile sizes under the HBM budget.
+
+    `block_size_hint` carries the reference block_size semantics
+    (reference: s_plus.pyx:217-225): None = single tile (blocking disabled),
+    0/auto = planner's choice, int > 0 = explicit tile width.
+    """
+    budget = budget_bytes if budget_bytes is not None else hbm_budget_bytes()
+    u_pad = max(_round_up(n_common, 128), 128)
+
+    if block_size_hint is None:
+        tc = _round_up(n_cols, 128)
+    elif block_size_hint and block_size_hint > 0:
+        tc = min(_round_up(int(block_size_hint), 8), _round_up(n_cols, 128))
+    else:
+        # auto: D tile (u_pad x TC) should use at most ~30% of budget
+        tc = int((budget * 0.30) // (u_pad * itemsize))
+        tc = max(min(_round_up(tc, 128), _round_up(n_cols, 128)), 128)
+        tc = min(tc, 8192)
+
+    # panel: M1 dense (TRP x u_pad) + scores (TRP x TC) within ~50% of budget
+    per_row = u_pad * itemsize + tc * 4 * 3  # dense row + score tile + topk slack
+    trp = int((budget * 0.50) // per_row)
+    trp = max(min(_round_up(trp, 8), _round_up(n_targets, 8)), 8)
+    trp = min(trp, 32768)
+
+    n_panels = math.ceil(n_targets / trp)
+    n_tiles = math.ceil(n_cols / tc)
+    return TilePlan(panel_rows=trp, tile_cols=tc, u_pad=u_pad, n_panels=n_panels, n_tiles=n_tiles)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _pad_bucket(n: int, minimum: int = 1024) -> int:
+    """Round sizes to coarse buckets to bound jit recompilations."""
+    n = max(n, minimum)
+    return 1 << max(n - 1, 1).bit_length()
+
+
+# ---------------------------------------------------------------------------
+# Device panel computation
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "flags",
+        "k",
+        "trp",
+        "u_pad",
+        "tc",
+        "has_allowed",
+        "has_filter",
+        "has_target",
+        "compute_dtype",
+        "precision",
+    ),
+)
+def _run_panel(
+    m1_rows,
+    m1_cols,
+    m1_vals,
+    x_t,
+    x_c,
+    x_d,
+    tiles,  # dict of stacked per-tile arrays (leading dim n_tiles)
+    pvec,  # (9,) f32: a1 l1 l2 l3 t1 t2 stab bayes threshold
+    *,
+    flags: tuple,
+    k: int,
+    trp: int,
+    u_pad: int,
+    tc: int,
+    has_allowed: bool,
+    has_filter: bool,
+    has_target: bool,
+    compute_dtype: str,
+    precision: str,
+):
+    use_l1, use_l2, use_l3, use_pow, use_bayes, use_denominator = flags
+    cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    prec = {
+        "default": jax.lax.Precision.DEFAULT,
+        "high": jax.lax.Precision.HIGH,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[precision]
+
+    a1, l1, l2, l3, t1, t2, stab, bayes, threshold = [pvec[i] for i in range(9)]
+
+    # Densify the matrix1 panel: (TRP x U). Padding entries carry row == TRP
+    # (out of bounds -> dropped).
+    m1_dense = (
+        jnp.zeros((trp, u_pad), cdt)
+        .at[m1_rows, m1_cols]
+        .set(m1_vals.astype(cdt), mode="drop", unique_indices=True)
+    )
+
+    def tile_step(carry, xs):
+        topk_vals, topk_idx = carry
+        d = (
+            jnp.zeros((u_pad, tc), cdt)
+            .at[xs["m2_rows"], xs["m2_cols"]]
+            .set(xs["m2_vals"].astype(cdt), mode="drop", unique_indices=True)
+        )
+        xy = jnp.dot(m1_dense, d, preferred_element_type=jnp.float32, precision=prec)
+
+        candidate = xy != 0.0
+        if has_allowed:
+            candidate = jnp.logical_and(candidate, xs["allowed"][None, :])
+        if has_filter:
+            fmask = (
+                jnp.zeros((trp, tc), jnp.bool_)
+                .at[xs["fil_rows"], xs["fil_cols"]]
+                .set(True, mode="drop")
+            )
+            candidate = jnp.logical_and(candidate, jnp.logical_not(fmask))
+        if has_target:
+            tmask = (
+                jnp.zeros((trp, tc), jnp.bool_)
+                .at[xs["tgt_rows"], xs["tgt_cols"]]
+                .set(True, mode="drop")
+            )
+            candidate = jnp.logical_and(candidate, tmask)
+
+        # ---- S-Plus epilogue (reference: s_plus.h:129-156) ----
+        xy_p = jnp.power(xy, a1) if use_pow else xy
+        if use_denominator:
+            denom = jnp.full_like(xy, stab)
+            if use_l1:
+                denom = denom + l1 * (
+                    t1 * (x_t[:, None] - xy) + t2 * (xs["y_t"][None, :] - xy) + xy
+                )
+            if use_l2:
+                denom = denom + l2 * (x_c[:, None] * xs["y_c"][None, :])
+            if use_l3:
+                denom = denom + l3 * (x_d[:, None] * xs["y_d"][None, :])
+            val = jnp.where(denom != 0.0, xy_p / denom, 0.0)
+            if use_bayes:
+                val = val * (xy_p / (xy_p + bayes))
+        else:
+            val = xy  # raw product, un-powered (reference: s_plus.h:131,144)
+
+        keep = jnp.logical_and(candidate, val >= threshold)
+        val = jnp.where(keep, val, NEG_INF)
+
+        # ---- streaming top-K merge (replaces the TopK heap) ----
+        col_ids = xs["col_offset"] + jax.lax.broadcasted_iota(jnp.int32, (1, tc), 1)
+        all_vals = jnp.concatenate([topk_vals, val], axis=1)
+        all_idx = jnp.concatenate([topk_idx, jnp.broadcast_to(col_ids, (trp, tc))], axis=1)
+        new_vals, pos = jax.lax.top_k(all_vals, k)
+        new_idx = jnp.take_along_axis(all_idx, pos, axis=1)
+        return (new_vals, new_idx), None
+
+    init = (
+        jnp.full((trp, k), NEG_INF, jnp.float32),
+        jnp.zeros((trp, k), jnp.int32),
+    )
+    (vals, idx), _ = jax.lax.scan(tile_step, init, tiles)
+    return vals, idx
+
+
+# ---------------------------------------------------------------------------
+# Host orchestration
+# ---------------------------------------------------------------------------
+
+
+def _csc_tile_coo(csc, c0: int, c1: int, pad_to: int, row_sentinel: int):
+    """COO (rows, local cols, vals) of csc[:, c0:c1], padded for scatter-drop."""
+    s, e = int(csc.indptr[c0]), int(csc.indptr[c1])
+    nnz = e - s
+    rows = np.full(pad_to, row_sentinel, dtype=np.int32)
+    cols = np.zeros(pad_to, dtype=np.int32)
+    vals = np.zeros(pad_to, dtype=np.float32)
+    rows[:nnz] = csc.indices[s:e]
+    counts = np.diff(csc.indptr[c0 : c1 + 1])
+    cols[:nnz] = np.repeat(np.arange(c1 - c0, dtype=np.int32), counts)
+    vals[:nnz] = csc.data[s:e]
+    return rows, cols, vals
+
+
+def _stack_m2_tiles(m2_csc, n_cols: int, tc: int, n_tiles: int, u_pad: int):
+    per_tile_nnz = [
+        int(m2_csc.indptr[min((j + 1) * tc, n_cols)] - m2_csc.indptr[j * tc])
+        for j in range(n_tiles)
+    ]
+    p2 = _pad_bucket(max(per_tile_nnz) if per_tile_nnz else 1)
+    rows = np.empty((n_tiles, p2), np.int32)
+    cols = np.empty((n_tiles, p2), np.int32)
+    vals = np.empty((n_tiles, p2), np.float32)
+    for j in range(n_tiles):
+        c0, c1 = j * tc, min((j + 1) * tc, n_cols)
+        rows[j], cols[j], vals[j] = _csc_tile_coo(m2_csc, c0, c1, p2, u_pad)
+    return rows, cols, vals
+
+
+def _stack_selector_tiles(sel_panel_csc, n_cols: int, tc: int, n_tiles: int, trp: int):
+    """Per-tile COO of a selector matrix's panel rows (bool masks)."""
+    per_tile_nnz = [
+        int(sel_panel_csc.indptr[min((j + 1) * tc, n_cols)] - sel_panel_csc.indptr[j * tc])
+        for j in range(n_tiles)
+    ]
+    pf = _pad_bucket(max(per_tile_nnz) if per_tile_nnz else 1, minimum=256)
+    rows = np.empty((n_tiles, pf), np.int32)
+    cols = np.empty((n_tiles, pf), np.int32)
+    for j in range(n_tiles):
+        c0, c1 = j * tc, min((j + 1) * tc, n_cols)
+        r, c, _ = _csc_tile_coo(sel_panel_csc, c0, c1, pf, trp)
+        rows[j], cols[j] = r, c
+    return rows, cols
+
+
+def _pad_vec(v: Optional[np.ndarray], n: int, fill: float = 1.0) -> np.ndarray:
+    out = np.full(n, fill, dtype=np.float32)
+    if v is not None:
+        out[: v.shape[0]] = v
+    return out
+
+
+def execute(
+    pre: Preprocessed,
+    params: SPlusParams,
+    *,
+    block_size_hint: Optional[int] = 0,
+    compute_dtype: str = "float32",
+    precision: str = "highest",
+    budget_bytes: Optional[int] = None,
+    progress=None,
+):
+    """Run the tiled similarity; returns host (T, k) vals f32 and idx int32."""
+    m1, m2, targets, k = pre.m1, pre.m2, pre.targets, pre.k
+    T = targets.shape[0]
+    U = m1.shape[1]
+    C = pre.n_output_cols
+
+    if T == 0 or k == 0:
+        return (
+            np.full((T, max(k, 1)), NEG_INF, np.float32),
+            np.zeros((T, max(k, 1)), np.int32),
+        )
+
+    itemsize = 2 if compute_dtype == "bfloat16" else 4
+    plan = plan_tiles(T, U, C, k, itemsize, block_size_hint, budget_bytes)
+    trp, tc, u_pad = plan.panel_rows, plan.tile_cols, plan.u_pad
+    n_tiles = plan.n_tiles
+
+    # matrix1 restricted to target rows (host CSR row gather)
+    m1_t = m1[targets]
+
+    # matrix2 tiles: CSC slicing gives contiguous per-tile nnz
+    m2_csc = m2.tocsc()
+    t_rows, t_cols, t_vals = _stack_m2_tiles(m2_csc, C, tc, n_tiles, u_pad)
+
+    c_pad = n_tiles * tc
+    yt = _pad_vec(pre.Yt, c_pad).reshape(n_tiles, tc)
+    yc = _pad_vec(pre.Yc, c_pad).reshape(n_tiles, tc)
+    yd = _pad_vec(pre.Yd, c_pad).reshape(n_tiles, tc)
+    col_offsets = (np.arange(n_tiles, dtype=np.int32) * tc).reshape(n_tiles, 1)
+
+    tiles_common = {
+        "m2_rows": jnp.asarray(t_rows),
+        "m2_cols": jnp.asarray(t_cols),
+        "m2_vals": jnp.asarray(t_vals),
+        "y_t": jnp.asarray(yt),
+        "y_c": jnp.asarray(yc),
+        "y_d": jnp.asarray(yd),
+        "col_offset": jnp.asarray(col_offsets),
+    }
+    has_allowed = pre.col_allowed is not None
+    if has_allowed:
+        allowed = np.zeros(c_pad, dtype=bool)
+        allowed[:C] = pre.col_allowed
+        tiles_common["allowed"] = jnp.asarray(allowed.reshape(n_tiles, tc))
+
+    has_filter = pre.filter_matrix is not None
+    has_target = pre.target_matrix is not None
+    fil_t = pre.filter_matrix[targets] if has_filter else None
+    tgt_t = pre.target_matrix[targets] if has_target else None
+
+    pvec = jnp.asarray(
+        np.array(
+            [
+                params.a1,
+                params.l1,
+                params.l2,
+                params.l3,
+                params.t1,
+                params.t2,
+                params.stabilized_shrink,
+                params.bayesian_shrink,
+                params.threshold,
+            ],
+            dtype=np.float32,
+        )
+    )
+
+    out_vals = np.empty((T, k), np.float32)
+    out_idx = np.empty((T, k), np.int32)
+
+    xt_full = pre.Xt if pre.Xt is not None else None
+    xc_full = pre.Xc if pre.Xc is not None else None
+    xd_full = pre.Xd if pre.Xd is not None else None
+
+    n_panels = math.ceil(T / trp)
+    for p in range(n_panels):
+        r0, r1 = p * trp, min((p + 1) * trp, T)
+        rows_here = r1 - r0
+        panel = m1_t[r0:r1]
+
+        # panel COO, padded (sentinel row = trp -> dropped by scatter)
+        nnz = panel.data.shape[0]
+        p1 = _pad_bucket(nnz)
+        pr = np.full(p1, trp, dtype=np.int32)
+        pc = np.zeros(p1, dtype=np.int32)
+        pv = np.zeros(p1, dtype=np.float32)
+        pr[:nnz] = np.repeat(
+            np.arange(rows_here, dtype=np.int32), np.diff(panel.indptr)
+        )
+        pc[:nnz] = panel.indices
+        pv[:nnz] = panel.data
+
+        tgt_ids = targets[r0:r1]
+        x_t = _pad_vec(xt_full[tgt_ids] if xt_full is not None else None, trp)
+        x_c = _pad_vec(xc_full[tgt_ids] if xc_full is not None else None, trp)
+        x_d = _pad_vec(xd_full[tgt_ids] if xd_full is not None else None, trp)
+
+        tiles = dict(tiles_common)
+        if has_filter:
+            fr, fc = _stack_selector_tiles(fil_t[r0:r1].tocsc(), C, tc, n_tiles, trp)
+            tiles["fil_rows"], tiles["fil_cols"] = jnp.asarray(fr), jnp.asarray(fc)
+        if has_target:
+            tr, tcl = _stack_selector_tiles(tgt_t[r0:r1].tocsc(), C, tc, n_tiles, trp)
+            tiles["tgt_rows"], tiles["tgt_cols"] = jnp.asarray(tr), jnp.asarray(tcl)
+
+        vals, idx = _run_panel(
+            jnp.asarray(pr),
+            jnp.asarray(pc),
+            jnp.asarray(pv),
+            jnp.asarray(x_t),
+            jnp.asarray(x_c),
+            jnp.asarray(x_d),
+            tiles,
+            pvec,
+            flags=params.static_flags(),
+            k=k,
+            trp=trp,
+            u_pad=u_pad,
+            tc=tc,
+            has_allowed=has_allowed,
+            has_filter=has_filter,
+            has_target=has_target,
+            compute_dtype=compute_dtype,
+            precision=precision,
+        )
+        out_vals[r0:r1] = np.asarray(vals)[:rows_here]
+        out_idx[r0:r1] = np.asarray(idx)[:rows_here]
+        if progress is not None:
+            progress.update(rows_here)
+
+    return out_vals, out_idx

@@ -1,0 +1,73 @@
+"""Native (C++) host-side runtime kernels with NumPy fallbacks.
+
+The reference performs its host data-plane natively (header-only C++ via
+Cython: COO->CSR counting sort at cython_code/coo_to_csr.h:28-71, CSR
+column filtering at s_plus_utils.pyx:424-490). This package provides the
+equivalent kernels as a small C++ library loaded via ctypes; when the
+shared library is absent the callers fall back to vectorized NumPy/SciPy.
+
+Build with: python -m similaripy_tpu.native.build
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_LIB = None
+_LIB_TRIED = False
+
+
+def _load():
+    global _LIB, _LIB_TRIED
+    if _LIB_TRIED:
+        return _LIB
+    _LIB_TRIED = True
+    path = os.path.join(os.path.dirname(__file__), "libsimtpu.so")
+    if not os.path.exists(path):
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+        lib.coo_to_csr32.restype = None
+        lib.coo_to_csr64.restype = None
+        _LIB = lib
+    except OSError:
+        _LIB = None
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def coo_to_csr(rows, cols, vals, n_rows: int, idx_dtype):
+    """Counting-sort COO->CSR (duplicates preserved, row-major, stable).
+
+    Matches reference coo_to_csr.h:28-71 semantics; int64 variant included
+    so huge outputs work on every platform.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not built")
+    nnz = int(vals.shape[0])
+    rows = np.ascontiguousarray(rows, dtype=idx_dtype)
+    cols = np.ascontiguousarray(cols, dtype=idx_dtype)
+    vals = np.ascontiguousarray(vals, dtype=np.float32)
+    indptr = np.zeros(n_rows + 1, dtype=idx_dtype)
+    indices = np.empty(nnz, dtype=idx_dtype)
+    data = np.empty(nnz, dtype=np.float32)
+    fn = lib.coo_to_csr32 if idx_dtype == np.int32 else lib.coo_to_csr64
+    c_long = ctypes.c_longlong
+    fn(
+        ctypes.c_int(n_rows),
+        c_long(nnz),
+        rows.ctypes.data_as(ctypes.c_void_p),
+        cols.ctypes.data_as(ctypes.c_void_p),
+        vals.ctypes.data_as(ctypes.c_void_p),
+        indptr.ctypes.data_as(ctypes.c_void_p),
+        indices.ctypes.data_as(ctypes.c_void_p),
+        data.ctypes.data_as(ctypes.c_void_p),
+    )
+    return indptr, indices, data

@@ -1,0 +1,400 @@
+"""Public similarity API: nine KNN similarity functions over sparse matrices.
+
+Each function is a thin mapping of a named similarity onto the generalized
+S-Plus kernel, with parameter mappings identical to the reference
+(reference: similaripy/similarity.py):
+
+  dot_product        all weights 0 (raw product)              (:49-64)
+  cosine             l2=1, c1=0.5, c2=0.5                     (:106-112)
+  asymmetric_cosine  l2=1, c1=alpha, c2=1-alpha               (:169-175)
+  tversky            l1=1, t1=alpha, t2=beta                  (:232-237)
+  jaccard            l1=1, t1=1, t2=1                         (:291-296)
+  dice               l1=1, t1=0.5, t2=0.5                     (:350-355)
+  p3alpha            L1-normalize rows + data**alpha, raw dot (:410-432)
+  rp3beta            p3alpha + column-popularity penalty      (:477-503)
+  s_plus             full parameterization                    (:568-592)
+
+All functions accept the reference keyword surface plus the TPU extensions
+(compute_dtype, precision, mesh) forwarded to the engine.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from .engine import s_plus as _engine_s_plus
+from .normalization import normalize as _normalize
+
+
+def __get_shrink_values__(shrink: float, shrink_type: str):
+    """Route one scalar into exactly one of three kernel shrink params
+    (reference: similarity.py:595-617)."""
+    stabilized_shrink = 0.0
+    bayesian_shrink = 0.0
+    additive_shrink = 0.0
+    if shrink_type == "stabilized":
+        stabilized_shrink = shrink
+    elif shrink_type == "bayesian":
+        bayesian_shrink = shrink
+    elif shrink_type == "additive":
+        additive_shrink = shrink
+    else:
+        raise ValueError(
+            "shrink_type must be one of 'stabilized', 'bayesian', or 'additive'"
+        )
+    return stabilized_shrink, bayesian_shrink, additive_shrink
+
+
+def _common_kwargs(
+    k,
+    shrink,
+    shrink_type,
+    threshold,
+    binary,
+    target_rows,
+    target_cols,
+    filter_cols,
+    verbose,
+    format_output,
+    num_threads,
+    block_size,
+    extensions,
+):
+    stabilized, bayesian, additive = __get_shrink_values__(shrink, shrink_type)
+    return dict(
+        k=k,
+        stabilized_shrink=stabilized,
+        bayesian_shrink=bayesian,
+        additive_shrink=additive,
+        threshold=threshold,
+        binary=binary,
+        target_rows=target_rows,
+        target_cols=target_cols,
+        filter_cols=filter_cols,
+        verbose=verbose,
+        format_output=format_output,
+        num_threads=num_threads,
+        block_size=block_size,
+        **extensions,
+    )
+
+
+def dot_product(
+    matrix1,
+    matrix2=None,
+    k: int = 100,
+    shrink: float = 0.0,
+    shrink_type: str = "stabilized",
+    threshold: float = 0.0,
+    binary: bool = False,
+    target_rows=None,
+    target_cols=None,
+    filter_cols=None,
+    verbose: bool = True,
+    format_output: str = "coo",
+    num_threads: int = 0,
+    block_size: Optional[int] = 0,
+    **extensions,
+):
+    """Top-K dot product similarity between rows of matrix1 and columns of
+    matrix2 (matrix1.T when matrix2 is None)."""
+    return _engine_s_plus(
+        matrix1,
+        matrix2=matrix2,
+        **_common_kwargs(
+            k, shrink, shrink_type, threshold, binary, target_rows, target_cols,
+            filter_cols, verbose, format_output, num_threads, block_size, extensions,
+        ),
+    )
+
+
+def cosine(
+    matrix1,
+    matrix2=None,
+    k: int = 100,
+    shrink: float = 0.0,
+    shrink_type: str = "stabilized",
+    threshold: float = 0.0,
+    binary: bool = False,
+    target_rows=None,
+    target_cols=None,
+    filter_cols=None,
+    verbose: bool = True,
+    format_output: str = "coo",
+    num_threads: int = 0,
+    block_size: Optional[int] = 0,
+    **extensions,
+):
+    """Top-K cosine similarity."""
+    return _engine_s_plus(
+        matrix1,
+        matrix2=matrix2,
+        l2=1,
+        c1=0.5,
+        c2=0.5,
+        **_common_kwargs(
+            k, shrink, shrink_type, threshold, binary, target_rows, target_cols,
+            filter_cols, verbose, format_output, num_threads, block_size, extensions,
+        ),
+    )
+
+
+def asymmetric_cosine(
+    matrix1,
+    matrix2=None,
+    alpha: float = 0.5,
+    k: int = 100,
+    shrink: float = 0.0,
+    shrink_type: str = "stabilized",
+    threshold: float = 0.0,
+    binary: bool = False,
+    target_rows=None,
+    target_cols=None,
+    filter_cols=None,
+    verbose: bool = True,
+    format_output: str = "coo",
+    num_threads: int = 0,
+    block_size: Optional[int] = 0,
+    **extensions,
+):
+    """Top-K asymmetric cosine: alpha weighs matrix1's norm, 1-alpha matrix2's."""
+    return _engine_s_plus(
+        matrix1,
+        matrix2=matrix2,
+        l2=1,
+        c1=alpha,
+        c2=1 - alpha,
+        **_common_kwargs(
+            k, shrink, shrink_type, threshold, binary, target_rows, target_cols,
+            filter_cols, verbose, format_output, num_threads, block_size, extensions,
+        ),
+    )
+
+
+def tversky(
+    matrix1,
+    matrix2=None,
+    alpha: float = 1.0,
+    beta: float = 1.0,
+    k: int = 100,
+    shrink: float = 0.0,
+    shrink_type: str = "stabilized",
+    threshold: float = 0.0,
+    binary: bool = False,
+    target_rows=None,
+    target_cols=None,
+    filter_cols=None,
+    verbose: bool = True,
+    format_output: str = "coo",
+    num_threads: int = 0,
+    block_size: Optional[int] = 0,
+    **extensions,
+):
+    """Top-K Tversky similarity (alpha/beta weigh the set differences)."""
+    return _engine_s_plus(
+        matrix1,
+        matrix2=matrix2,
+        l1=1,
+        t1=alpha,
+        t2=beta,
+        **_common_kwargs(
+            k, shrink, shrink_type, threshold, binary, target_rows, target_cols,
+            filter_cols, verbose, format_output, num_threads, block_size, extensions,
+        ),
+    )
+
+
+def jaccard(
+    matrix1,
+    matrix2=None,
+    k: int = 100,
+    shrink: float = 0.0,
+    shrink_type: str = "stabilized",
+    threshold: float = 0.0,
+    binary: bool = False,
+    target_rows=None,
+    target_cols=None,
+    filter_cols=None,
+    verbose: bool = True,
+    format_output: str = "coo",
+    num_threads: int = 0,
+    block_size: Optional[int] = 0,
+    **extensions,
+):
+    """Top-K Jaccard similarity (intersection over union)."""
+    return _engine_s_plus(
+        matrix1,
+        matrix2=matrix2,
+        l1=1,
+        t1=1,
+        t2=1,
+        **_common_kwargs(
+            k, shrink, shrink_type, threshold, binary, target_rows, target_cols,
+            filter_cols, verbose, format_output, num_threads, block_size, extensions,
+        ),
+    )
+
+
+def dice(
+    matrix1,
+    matrix2=None,
+    k: int = 100,
+    shrink: float = 0.0,
+    shrink_type: str = "stabilized",
+    threshold: float = 0.0,
+    binary: bool = False,
+    target_rows=None,
+    target_cols=None,
+    filter_cols=None,
+    verbose: bool = True,
+    format_output: str = "coo",
+    num_threads: int = 0,
+    block_size: Optional[int] = 0,
+    **extensions,
+):
+    """Top-K Dice similarity (harmonic mean of overlap and size)."""
+    return _engine_s_plus(
+        matrix1,
+        matrix2=matrix2,
+        l1=1,
+        t1=0.5,
+        t2=0.5,
+        **_common_kwargs(
+            k, shrink, shrink_type, threshold, binary, target_rows, target_cols,
+            filter_cols, verbose, format_output, num_threads, block_size, extensions,
+        ),
+    )
+
+
+def p3alpha(
+    matrix1,
+    matrix2=None,
+    alpha: float = 1.0,
+    k: int = 100,
+    shrink: float = 0.0,
+    shrink_type: str = "stabilized",
+    threshold: float = 0.0,
+    binary: bool = False,
+    target_rows=None,
+    target_cols=None,
+    filter_cols=None,
+    verbose: bool = True,
+    format_output: str = "coo",
+    num_threads: int = 0,
+    block_size: Optional[int] = 0,
+    **extensions,
+):
+    """Top-K P3alpha: 3-step random-walk similarity; cheap Python-side
+    L1-normalize + power transform, then the raw-dot kernel
+    (reference: similarity.py:410-432)."""
+    if matrix2 is None:
+        matrix2 = matrix1.T
+    matrix1 = _normalize(matrix1, norm="l1", axis=1, inplace=False)
+    matrix1.data = np.power(matrix1.data, alpha)
+    matrix2 = _normalize(matrix2, norm="l1", axis=1, inplace=False)
+    matrix2.data = np.power(matrix2.data, alpha)
+    return _engine_s_plus(
+        matrix1,
+        matrix2=matrix2,
+        **_common_kwargs(
+            k, shrink, shrink_type, threshold, binary, target_rows, target_cols,
+            filter_cols, verbose, format_output, num_threads, block_size, extensions,
+        ),
+    )
+
+
+def rp3beta(
+    matrix1,
+    matrix2=None,
+    alpha: float = 1.0,
+    beta: float = 1.0,
+    k: int = 100,
+    shrink: float = 0.0,
+    shrink_type: str = "stabilized",
+    threshold: float = 0.0,
+    binary: bool = False,
+    target_rows=None,
+    target_cols=None,
+    filter_cols=None,
+    verbose: bool = True,
+    format_output: str = "coo",
+    num_threads: int = 0,
+    block_size: Optional[int] = 0,
+    **extensions,
+):
+    """Top-K RP3beta: P3alpha with item-popularity penalization
+    (reference: similarity.py:477-503)."""
+    if matrix2 is None:
+        matrix2 = matrix1.T
+    pop_m2 = np.asarray(matrix2.sum(axis=0)).ravel()
+    matrix1 = _normalize(matrix1, norm="l1", axis=1, inplace=False)
+    matrix1.data = np.power(matrix1.data, alpha)
+    matrix2 = _normalize(matrix2, norm="l1", axis=1, inplace=False)
+    matrix2.data = np.power(matrix2.data, alpha)
+    return _engine_s_plus(
+        matrix1,
+        matrix2=matrix2,
+        weight_depop_matrix2=pop_m2,
+        p2=beta,
+        l3=1,
+        **_common_kwargs(
+            k, shrink, shrink_type, threshold, binary, target_rows, target_cols,
+            filter_cols, verbose, format_output, num_threads, block_size, extensions,
+        ),
+    )
+
+
+def s_plus(
+    matrix1,
+    matrix2=None,
+    l1: float = 0.5,
+    l2: float = 0.5,
+    l3: float = 0.0,
+    t1: float = 1.0,
+    t2: float = 1.0,
+    c1: float = 0.5,
+    c2: float = 0.5,
+    pop1="none",
+    pop2="none",
+    alpha: float = 1.0,
+    beta1: float = 0.0,
+    beta2: float = 0.0,
+    k: int = 100,
+    shrink: float = 0.0,
+    shrink_type: str = "stabilized",
+    threshold: float = 0.0,
+    binary: bool = False,
+    target_rows=None,
+    target_cols=None,
+    filter_cols=None,
+    verbose: bool = True,
+    format_output: str = "coo",
+    num_threads: int = 0,
+    block_size: Optional[int] = 0,
+    **extensions,
+):
+    """The S-Plus hybrid: Tversky + cosine normalization with RP3beta-style
+    depopularization, fully controlled by tunable weights
+    (reference: similarity.py:506-592)."""
+    return _engine_s_plus(
+        matrix1,
+        matrix2=matrix2,
+        l1=l1,
+        l2=l2,
+        l3=l3,
+        t1=t1,
+        t2=t2,
+        c1=c1,
+        c2=c2,
+        a1=alpha,
+        weight_depop_matrix1=pop1,
+        weight_depop_matrix2=pop2,
+        p1=beta1,
+        p2=beta2,
+        **_common_kwargs(
+            k, shrink, shrink_type, threshold, binary, target_rows, target_cols,
+            filter_cols, verbose, format_output, num_threads, block_size, extensions,
+        ),
+    )

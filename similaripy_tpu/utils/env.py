@@ -1,0 +1,58 @@
+"""Platform/environment helpers.
+
+Centralizes backend detection so the engine can pick execution strategies
+(real Pallas kernels on TPU, interpret-mode / pure-XLA fallbacks on CPU).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+
+@functools.lru_cache(maxsize=None)
+def default_backend() -> str:
+    """The default JAX backend platform string ('tpu', 'cpu', 'gpu')."""
+    import jax
+
+    return jax.default_backend()
+
+
+def on_tpu() -> bool:
+    return default_backend() == "tpu"
+
+
+def pallas_interpret() -> bool:
+    """Whether Pallas kernels must run in interpreter mode (non-TPU backends)."""
+    if os.environ.get("SIMILARIPY_TPU_FORCE_INTERPRET"):
+        return True
+    return not on_tpu()
+
+
+@functools.lru_cache(maxsize=None)
+def device_count() -> int:
+    import jax
+
+    return jax.device_count()
+
+
+def hbm_budget_bytes() -> int:
+    """Usable HBM budget for tile planning.
+
+    The axon tunnel backend does not expose memory_stats, so allow an env
+    override and use a conservative default otherwise.
+    """
+    env = os.environ.get("SIMILARIPY_TPU_HBM_BYTES")
+    if env:
+        return int(env)
+    try:
+        import jax
+
+        stats = jax.local_devices()[0].memory_stats()
+        if stats and "bytes_limit" in stats:
+            return int(stats["bytes_limit"] * 0.85)
+    except Exception:
+        pass
+    if on_tpu():
+        return 12 * 1024**3  # conservative: fits a 16 GB HBM chip
+    return 2 * 1024**3  # CPU tests: keep buffers small
