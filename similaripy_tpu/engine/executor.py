@@ -43,6 +43,60 @@ NEG_INF = float("-inf")
 
 
 # ---------------------------------------------------------------------------
+# Fused epilogue + streaming top-K merge (shared with the sharded executor)
+# ---------------------------------------------------------------------------
+
+
+def splus_epilogue(xy, candidate, x_t, x_c, x_d, y_t, y_c, y_d, pvec, flags):
+    """The S-Plus normalization epilogue on a dense (rows x cols) xy tile.
+
+    val = xy**a1 / (l1*T + l2*C + l3*D + stab) [* bayes factor], with the
+    reference's numeric quirks: Tversky term uses raw xy while the numerator
+    is xy**a1; denom==0 -> 0; no denominator terms -> raw un-powered xy
+    (reference: s_plus.h:129-156). Non-candidates and sub-threshold cells
+    become -inf so they can never enter the top-K.
+    """
+    use_l1, use_l2, use_l3, use_pow, use_bayes, use_denominator = flags
+    a1, l1, l2, l3, t1, t2, stab, bayes, threshold = [pvec[i] for i in range(9)]
+
+    xy_p = jnp.power(xy, a1) if use_pow else xy
+    if use_denominator:
+        denom = jnp.full_like(xy, stab)
+        if use_l1:
+            denom = denom + l1 * (
+                t1 * (x_t[:, None] - xy) + t2 * (y_t[None, :] - xy) + xy
+            )
+        if use_l2:
+            denom = denom + l2 * (x_c[:, None] * y_c[None, :])
+        if use_l3:
+            denom = denom + l3 * (x_d[:, None] * y_d[None, :])
+        val = jnp.where(denom != 0.0, xy_p / denom, 0.0)
+        if use_bayes:
+            val = val * (xy_p / (xy_p + bayes))
+    else:
+        val = xy  # raw product, un-powered (reference: s_plus.h:131,144)
+
+    keep = jnp.logical_and(candidate, val >= threshold)
+    return jnp.where(keep, val, NEG_INF)
+
+
+def topk_merge(topk_vals, topk_idx, val, col_ids, k: int):
+    """Merge a new score tile into a running (rows x k) top-K carry.
+
+    Replaces the reference's per-row TopK heap (s_plus.h:39-64) with a
+    concat + lax.top_k over the carry and the tile's columns.
+    """
+    n_rows = topk_vals.shape[0]
+    all_vals = jnp.concatenate([topk_vals, val], axis=1)
+    all_idx = jnp.concatenate(
+        [topk_idx, jnp.broadcast_to(col_ids, (n_rows, val.shape[1]))], axis=1
+    )
+    new_vals, pos = jax.lax.top_k(all_vals, k)
+    new_idx = jnp.take_along_axis(all_idx, pos, axis=1)
+    return new_vals, new_idx
+
+
+# ---------------------------------------------------------------------------
 # Tiling plan
 # ---------------------------------------------------------------------------
 
@@ -146,15 +200,12 @@ def _run_panel(
     compute_dtype: str,
     precision: str,
 ):
-    use_l1, use_l2, use_l3, use_pow, use_bayes, use_denominator = flags
     cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
     prec = {
         "default": jax.lax.Precision.DEFAULT,
         "high": jax.lax.Precision.HIGH,
         "highest": jax.lax.Precision.HIGHEST,
     }[precision]
-
-    a1, l1, l2, l3, t1, t2, stab, bayes, threshold = [pvec[i] for i in range(9)]
 
     # Densify the matrix1 panel: (TRP x U). Padding entries carry row == TRP
     # (out of bounds -> dropped).
@@ -191,33 +242,13 @@ def _run_panel(
             )
             candidate = jnp.logical_and(candidate, tmask)
 
-        # ---- S-Plus epilogue (reference: s_plus.h:129-156) ----
-        xy_p = jnp.power(xy, a1) if use_pow else xy
-        if use_denominator:
-            denom = jnp.full_like(xy, stab)
-            if use_l1:
-                denom = denom + l1 * (
-                    t1 * (x_t[:, None] - xy) + t2 * (xs["y_t"][None, :] - xy) + xy
-                )
-            if use_l2:
-                denom = denom + l2 * (x_c[:, None] * xs["y_c"][None, :])
-            if use_l3:
-                denom = denom + l3 * (x_d[:, None] * xs["y_d"][None, :])
-            val = jnp.where(denom != 0.0, xy_p / denom, 0.0)
-            if use_bayes:
-                val = val * (xy_p / (xy_p + bayes))
-        else:
-            val = xy  # raw product, un-powered (reference: s_plus.h:131,144)
-
-        keep = jnp.logical_and(candidate, val >= threshold)
-        val = jnp.where(keep, val, NEG_INF)
+        val = splus_epilogue(
+            xy, candidate, x_t, x_c, x_d, xs["y_t"], xs["y_c"], xs["y_d"], pvec, flags
+        )
 
         # ---- streaming top-K merge (replaces the TopK heap) ----
         col_ids = xs["col_offset"] + jax.lax.broadcasted_iota(jnp.int32, (1, tc), 1)
-        all_vals = jnp.concatenate([topk_vals, val], axis=1)
-        all_idx = jnp.concatenate([topk_idx, jnp.broadcast_to(col_ids, (trp, tc))], axis=1)
-        new_vals, pos = jax.lax.top_k(all_vals, k)
-        new_idx = jnp.take_along_axis(all_idx, pos, axis=1)
+        new_vals, new_idx = topk_merge(topk_vals, topk_idx, val, col_ids, k)
         return (new_vals, new_idx), None
 
     init = (

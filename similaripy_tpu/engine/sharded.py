@@ -1,0 +1,430 @@
+"""Multi-device sharded S-Plus executor.
+
+Scales the single-device tiled executor (executor.py) over a
+`jax.sharding.Mesh` with two logical axes (SURVEY §2.5):
+
+  'rows' — data parallelism over target rows: each row-shard owns a
+           disjoint slice of the output, the TPU analogue of the
+           reference's OpenMP row loop with disjoint output slices
+           (reference: s_plus.h:313-338,443-450).
+  'cols' — tensor-style parallelism over matrix2 columns: each col-shard
+           scans its own column span and produces a partial per-row
+           top-K; partials are merged with an `all_gather` over 'cols'
+           followed by one `lax.top_k` — the distributed replacement for
+           the reference's per-thread TopK heap (s_plus.h:39-64).
+
+Communication pattern: the ONLY collective is the (rows_per_panel × k)
+all-gather of top-K partials along 'cols' — O(trp·k·C_sh) floats, riding
+ICI, negligible next to the O(trp·C) similarity compute. Matrix data never
+moves between devices: m1 panels are replicated along 'cols' (each col
+shard needs all target rows) and sharded along 'rows'; m2 tiles are
+sharded along 'cols' and replicated along 'rows'.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..utils.env import hbm_budget_bytes
+from .executor import (
+    NEG_INF,
+    _pad_bucket,
+    _pad_vec,
+    _round_up,
+    _stack_m2_tiles,
+    _stack_selector_tiles,
+    plan_tiles,
+    splus_epilogue,
+    topk_merge,
+)
+from .params import SPlusParams
+from .preprocess import Preprocessed
+
+
+def _pad_csc_cols(sub, n_cols_target: int):
+    """Extend a CSC matrix with empty columns up to n_cols_target."""
+    import scipy.sparse as sp
+
+    n = sub.shape[1]
+    if n >= n_cols_target:
+        return sub
+    indptr = np.concatenate(
+        [sub.indptr, np.full(n_cols_target - n, sub.indptr[-1], dtype=sub.indptr.dtype)]
+    )
+    return sp.csc_array(
+        (sub.data, sub.indices, indptr), shape=(sub.shape[0], n_cols_target)
+    )
+
+
+def _mesh_axis_sizes(mesh: Mesh) -> tuple[int, int]:
+    """(rows, cols) axis sizes; either axis may be absent (treated as 1)."""
+    names = mesh.axis_names
+    if not set(names) <= {"rows", "cols"}:
+        raise ValueError(
+            f"sharded executor expects mesh axes named 'rows'/'cols', got {names}"
+        )
+    r = mesh.shape.get("rows", 1)
+    c = mesh.shape.get("cols", 1)
+    return r, c
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "mesh",
+        "flags",
+        "k",
+        "trp",
+        "u_pad",
+        "tc",
+        "has_allowed",
+        "has_filter",
+        "has_target",
+        "compute_dtype",
+        "precision",
+    ),
+)
+def _run_sharded_panel(
+    m1_rows,  # (R_sh, p1) int32 — local row ids within the shard's panel
+    m1_cols,  # (R_sh, p1) int32
+    m1_vals,  # (R_sh, p1) f32
+    x_t,  # (R_sh, trp) f32
+    x_c,
+    x_d,
+    tiles,  # dict; m2/y/offset arrays lead with C_sh, selector arrays with (R_sh, C_sh)
+    pvec,  # (9,) f32
+    *,
+    mesh: Mesh,
+    flags: tuple,
+    k: int,
+    trp: int,
+    u_pad: int,
+    tc: int,
+    has_allowed: bool,
+    has_filter: bool,
+    has_target: bool,
+    compute_dtype: str,
+    precision: str,
+):
+    cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    prec = {
+        "default": jax.lax.Precision.DEFAULT,
+        "high": jax.lax.Precision.HIGH,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[precision]
+    has_cols_axis = "cols" in mesh.axis_names
+
+    def block_fn(m1_rows, m1_cols, m1_vals, x_t, x_c, x_d, tiles, pvec):
+        # strip the leading shard dims (all size 1 inside the block)
+        m1_rows, m1_cols, m1_vals = m1_rows[0], m1_cols[0], m1_vals[0]
+        x_t, x_c, x_d = x_t[0], x_c[0], x_d[0]
+        tiles = {
+            k2: (v[0, 0] if k2.startswith(("fil_", "tgt_")) else v[0])
+            for k2, v in tiles.items()
+        }
+
+        m1_dense = (
+            jnp.zeros((trp, u_pad), cdt)
+            .at[m1_rows, m1_cols]
+            .set(m1_vals.astype(cdt), mode="drop", unique_indices=True)
+        )
+
+        def tile_step(carry, xs):
+            topk_vals, topk_idx = carry
+            d = (
+                jnp.zeros((u_pad, tc), cdt)
+                .at[xs["m2_rows"], xs["m2_cols"]]
+                .set(xs["m2_vals"].astype(cdt), mode="drop", unique_indices=True)
+            )
+            xy = jnp.dot(m1_dense, d, preferred_element_type=jnp.float32, precision=prec)
+
+            candidate = xy != 0.0
+            if has_allowed:
+                candidate = jnp.logical_and(candidate, xs["allowed"][None, :])
+            if has_filter:
+                fmask = (
+                    jnp.zeros((trp, tc), jnp.bool_)
+                    .at[xs["fil_rows"], xs["fil_cols"]]
+                    .set(True, mode="drop")
+                )
+                candidate = jnp.logical_and(candidate, jnp.logical_not(fmask))
+            if has_target:
+                tmask = (
+                    jnp.zeros((trp, tc), jnp.bool_)
+                    .at[xs["tgt_rows"], xs["tgt_cols"]]
+                    .set(True, mode="drop")
+                )
+                candidate = jnp.logical_and(candidate, tmask)
+
+            val = splus_epilogue(
+                xy, candidate, x_t, x_c, x_d,
+                xs["y_t"], xs["y_c"], xs["y_d"], pvec, flags,
+            )
+            col_ids = xs["col_offset"] + jax.lax.broadcasted_iota(jnp.int32, (1, tc), 1)
+            new_vals, new_idx = topk_merge(topk_vals, topk_idx, val, col_ids, k)
+            return (new_vals, new_idx), None
+
+        init = (
+            jnp.full((trp, k), NEG_INF, jnp.float32),
+            jnp.zeros((trp, k), jnp.int32),
+        )
+        (vals, idx), _ = jax.lax.scan(tile_step, init, tiles)
+
+        if has_cols_axis:
+            # Distributed top-K merge: gather each col-shard's k partials and
+            # re-select. Deterministic regardless of shard order because ties
+            # resolve by (value, gather position) identically on all shards.
+            all_vals = jax.lax.all_gather(vals, "cols", axis=1, tiled=True)
+            all_idx = jax.lax.all_gather(idx, "cols", axis=1, tiled=True)
+            merged, pos = jax.lax.top_k(all_vals, k)
+            idx = jnp.take_along_axis(all_idx, pos, axis=1)
+            vals = merged
+        return vals[None], idx[None]
+
+    sel_spec = P("rows", "cols" if has_cols_axis else None, None, None)
+    tile_specs = {
+        k2: (sel_spec if k2.startswith(("fil_", "tgt_")) else P("cols" if has_cols_axis else None, None, None))
+        for k2 in tiles
+    }
+    # y/offset/allowed arrays are (C_sh, n_tiles_local, tc)-shaped like m2 tiles
+    out = jax.shard_map(
+        block_fn,
+        mesh=mesh,
+        in_specs=(
+            P("rows", None),
+            P("rows", None),
+            P("rows", None),
+            P("rows", None),
+            P("rows", None),
+            P("rows", None),
+            tile_specs,
+            P(),
+        ),
+        out_specs=(P("rows", None, None), P("rows", None, None)),
+        check_vma=False,
+    )(m1_rows, m1_cols, m1_vals, x_t, x_c, x_d, tiles, pvec)
+    return out
+
+
+def execute_sharded(
+    pre: Preprocessed,
+    params: SPlusParams,
+    *,
+    mesh: Mesh,
+    block_size_hint: Optional[int] = 0,
+    compute_dtype: str = "float32",
+    precision: str = "highest",
+    budget_bytes: Optional[int] = None,
+    progress=None,
+):
+    """Run the mesh-sharded similarity; returns host (T, k) vals f32 / idx i32."""
+    m1, m2, targets, k = pre.m1, pre.m2, pre.targets, pre.k
+    T = targets.shape[0]
+    U = m1.shape[1]
+    C = pre.n_output_cols
+    R_sh, C_sh = _mesh_axis_sizes(mesh)
+
+    if T == 0 or k == 0:
+        return (
+            np.full((T, max(k, 1)), NEG_INF, np.float32),
+            np.zeros((T, max(k, 1)), np.int32),
+        )
+
+    # --- plan: per-shard column span, tiled; per-shard row panel ---
+    itemsize = 2 if compute_dtype == "bfloat16" else 4
+    c_span = _round_up(math.ceil(C / C_sh), 128)
+    plan = plan_tiles(
+        max(math.ceil(T / R_sh), 8), U, c_span, k, itemsize, block_size_hint,
+        budget_bytes if budget_bytes is not None else hbm_budget_bytes(),
+    )
+    trp, u_pad = plan.panel_rows, plan.u_pad
+    tc = min(plan.tile_cols, c_span)
+    n_tiles_local = math.ceil(c_span / tc)
+    c_span = n_tiles_local * tc  # realign span to whole tiles
+    c_pad = C_sh * c_span
+
+    m1_t = m1[targets]
+    m2_csc = m2.tocsc()
+
+    # --- per-col-shard m2 tiles, padded to one global nnz bucket ---
+    shard_tiles = []
+    max_nnz = 1
+    for c in range(C_sh):
+        c0 = min(c * c_span, C)
+        c1 = min((c + 1) * c_span, C)
+        sub = m2_csc[:, c0:c1]
+        n_sub = c1 - c0
+        for j in range(n_tiles_local):
+            t0, t1 = j * tc, min((j + 1) * tc, max(n_sub, 0))
+            if t0 < n_sub:
+                max_nnz = max(max_nnz, int(sub.indptr[t1] - sub.indptr[t0]))
+        shard_tiles.append((sub, n_sub, c0))
+    p2 = _pad_bucket(max_nnz)
+
+    t_rows = np.full((C_sh, n_tiles_local, p2), u_pad, np.int32)
+    t_cols = np.zeros((C_sh, n_tiles_local, p2), np.int32)
+    t_vals = np.zeros((C_sh, n_tiles_local, p2), np.float32)
+    for c, (sub, n_sub, _c0) in enumerate(shard_tiles):
+        if n_sub <= 0:
+            continue
+        r, cc, v = _stack_m2_tiles(
+            _pad_csc_cols(sub, c_span), c_span, tc, n_tiles_local, u_pad
+        )
+        # _stack_m2_tiles pads per its own bucket; re-pad into the global one
+        w = min(r.shape[1], p2)
+        t_rows[c, :, :w], t_cols[c, :, :w], t_vals[c, :, :w] = (
+            r[:, :w], cc[:, :w], v[:, :w],
+        )
+
+    yt = _pad_vec(pre.Yt, c_pad).reshape(C_sh, n_tiles_local, tc)
+    yc = _pad_vec(pre.Yc, c_pad).reshape(C_sh, n_tiles_local, tc)
+    yd = _pad_vec(pre.Yd, c_pad).reshape(C_sh, n_tiles_local, tc)
+    col_offsets = (
+        np.arange(C_sh * n_tiles_local, dtype=np.int32) * tc
+    ).reshape(C_sh, n_tiles_local, 1)
+
+    tiles_common = {
+        "m2_rows": jnp.asarray(t_rows),
+        "m2_cols": jnp.asarray(t_cols),
+        "m2_vals": jnp.asarray(t_vals),
+        "y_t": jnp.asarray(yt),
+        "y_c": jnp.asarray(yc),
+        "y_d": jnp.asarray(yd),
+        "col_offset": jnp.asarray(col_offsets),
+    }
+    has_allowed = pre.col_allowed is not None
+    if has_allowed:
+        allowed = np.zeros(c_pad, dtype=bool)
+        allowed[:C] = pre.col_allowed
+        tiles_common["allowed"] = jnp.asarray(allowed.reshape(C_sh, n_tiles_local, tc))
+
+    has_filter = pre.filter_matrix is not None
+    has_target = pre.target_matrix is not None
+    fil_t = pre.filter_matrix[targets] if has_filter else None
+    tgt_t = pre.target_matrix[targets] if has_target else None
+
+    pvec = jnp.asarray(
+        np.array(
+            [
+                params.a1, params.l1, params.l2, params.l3,
+                params.t1, params.t2,
+                params.stabilized_shrink, params.bayesian_shrink, params.threshold,
+            ],
+            dtype=np.float32,
+        )
+    )
+
+    out_vals = np.empty((T, k), np.float32)
+    out_idx = np.empty((T, k), np.int32)
+
+    xt_full, xc_full, xd_full = pre.Xt, pre.Xc, pre.Xd
+
+    rows_per_call = R_sh * trp
+    n_calls = math.ceil(T / rows_per_call)
+    for p in range(n_calls):
+        base = p * rows_per_call
+        # --- per-row-shard m1 panels, one shared nnz bucket ---
+        panels = []
+        max_p1 = 1
+        for r in range(R_sh):
+            r0 = min(base + r * trp, T)
+            r1 = min(r0 + trp, T)
+            panel = m1_t[r0:r1]
+            max_p1 = max(max_p1, int(panel.data.shape[0]))
+            panels.append((panel, r0, r1))
+        p1 = _pad_bucket(max_p1)
+
+        pr = np.full((R_sh, p1), trp, np.int32)
+        pc = np.zeros((R_sh, p1), np.int32)
+        pv = np.zeros((R_sh, p1), np.float32)
+        x_t = np.ones((R_sh, trp), np.float32)
+        x_c = np.ones((R_sh, trp), np.float32)
+        x_d = np.ones((R_sh, trp), np.float32)
+        for r, (panel, r0, r1) in enumerate(panels):
+            nnz = panel.data.shape[0]
+            if nnz:
+                pr[r, :nnz] = np.repeat(
+                    np.arange(r1 - r0, dtype=np.int32), np.diff(panel.indptr)
+                )
+                pc[r, :nnz] = panel.indices
+                pv[r, :nnz] = panel.data
+            tgt_ids = targets[r0:r1]
+            n_here = r1 - r0
+            if xt_full is not None:
+                x_t[r, :n_here] = xt_full[tgt_ids]
+            if xc_full is not None:
+                x_c[r, :n_here] = xc_full[tgt_ids]
+            if xd_full is not None:
+                x_d[r, :n_here] = xd_full[tgt_ids]
+
+        tiles = dict(tiles_common)
+        if has_filter:
+            tiles["fil_rows"], tiles["fil_cols"] = _stack_sel_grid(
+                fil_t, panels, shard_tiles, tc, n_tiles_local, trp, R_sh, C_sh
+            )
+        if has_target:
+            tiles["tgt_rows"], tiles["tgt_cols"] = _stack_sel_grid(
+                tgt_t, panels, shard_tiles, tc, n_tiles_local, trp, R_sh, C_sh
+            )
+
+        vals, idx = _run_sharded_panel(
+            jnp.asarray(pr), jnp.asarray(pc), jnp.asarray(pv),
+            jnp.asarray(x_t), jnp.asarray(x_c), jnp.asarray(x_d),
+            tiles, pvec,
+            mesh=mesh,
+            flags=params.static_flags(),
+            k=k, trp=trp, u_pad=u_pad, tc=tc,
+            has_allowed=has_allowed, has_filter=has_filter, has_target=has_target,
+            compute_dtype=compute_dtype, precision=precision,
+        )
+        vals = np.asarray(vals)
+        idx = np.asarray(idx)
+        done = 0
+        for r, (_panel, r0, r1) in enumerate(panels):
+            out_vals[r0:r1] = vals[r, : r1 - r0]
+            out_idx[r0:r1] = idx[r, : r1 - r0]
+            done += r1 - r0
+        if progress is not None:
+            progress.update(done)
+
+    return out_vals, out_idx
+
+
+def _stack_sel_grid(sel_t, panels, shard_tiles, tc, n_tiles_local, trp, R_sh, C_sh):
+    """Selector COO tiles over the (row-shard × col-shard) grid.
+
+    Returns (R_sh, C_sh, n_tiles_local, pf) rows/cols arrays; sentinel row trp
+    drops padding on scatter (matrix-mode selector semantics,
+    reference: s_plus.h:159-188).
+    """
+    c_span = n_tiles_local * tc
+    grids = []
+    max_nnz = 1
+    for _panel, r0, r1 in panels:
+        row = []
+        sel_panel = sel_t[r0:r1].tocsc()
+        for sub_c in range(C_sh):
+            _sub, n_sub, c0 = shard_tiles[sub_c]
+            sel_sub = _pad_csc_cols(sel_panel[:, c0 : c0 + n_sub], c_span)
+            for j in range(n_tiles_local):
+                t0, t1 = j * tc, (j + 1) * tc
+                max_nnz = max(max_nnz, int(sel_sub.indptr[t1] - sel_sub.indptr[t0]))
+            row.append(sel_sub)
+        grids.append(row)
+    pf = _pad_bucket(max_nnz, minimum=256)
+
+    rows = np.full((R_sh, C_sh, n_tiles_local, pf), trp, np.int32)
+    cols = np.zeros((R_sh, C_sh, n_tiles_local, pf), np.int32)
+    for r in range(R_sh):
+        for c in range(C_sh):
+            rr, cc = _stack_selector_tiles(grids[r][c], c_span, tc, n_tiles_local, trp)
+            w = min(rr.shape[1], pf)
+            rows[r, c, :, :w], cols[r, c, :, :w] = rr[:, :w], cc[:, :w]
+    return jnp.asarray(rows), jnp.asarray(cols)

@@ -8,10 +8,18 @@ Must run before any jax import.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the environment pins a hardware backend (e.g. a
+# tunneled TPU): unit tests must be hermetic and exercise the virtual
+# 8-device mesh. The env var alone is not enough — a sitecustomize-level
+# PJRT plugin may override `jax_platforms` via jax.config, so set both.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
