@@ -1,0 +1,29 @@
+# similaripy_tpu developer targets (reference shape: Makefile:1-50)
+
+.PHONY: install test native bench bench-small bench-medium bench-large clean
+
+install:
+	pip install -e .
+
+native:
+	python -m similaripy_tpu.native.build
+
+test:
+	python -m pytest tests/ -q
+
+bench:
+	python bench.py
+
+bench-small:
+	python benchmarks/run_benchmarks.py --dataset synthetic_small
+
+bench-medium:
+	python benchmarks/run_benchmarks.py --dataset synthetic_medium
+
+bench-large:
+	python benchmarks/run_benchmarks.py --dataset movielens_32m
+
+clean:
+	rm -rf build dist *.egg-info reports
+	find . -name __pycache__ -type d -exec rm -rf {} +
+	rm -f similaripy_tpu/native/libsimtpu.so

@@ -1,0 +1,91 @@
+"""Headline benchmark: ML-32M-shaped item-item cosine, k=100.
+
+Replicates the reference benchmark protocol (reference:
+tests/benchmarks/benchmark.py:160-189, run_benchmarks.py:152-187):
+transpose the URM to item x user, time the full similarity call with
+perf_counter, throughput = n_items / time. The environment has no network
+egress, so the URM is synthetic with MovieLens-32M's exact shape, nnz and
+half-star rating domain plus power-law degree profiles
+(similaripy_tpu/utils/synth.py) — on which the engine's exact int8 MXU
+path arms, as it would on the real dataset.
+
+Baseline: the reference's published v0.6.0 sample on the real ML-32M
+(17147.5 items/s, cosine k=100, tests/benchmarks/README.md:196-209).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "items/s", "vs_baseline": N}
+
+Env knobs:
+  SIMILARIPY_BENCH_SCALE  fraction of ML-32M nnz (default 1.0)
+  SIMILARIPY_BENCH_ROUNDS timed rounds (default 2; best is reported)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_ITEMS_PER_S = 17147.5  # reference sample, real ML-32M cosine k=100
+
+
+def main():
+    scale = float(os.environ.get("SIMILARIPY_BENCH_SCALE", "1.0"))
+    rounds = int(os.environ.get("SIMILARIPY_BENCH_ROUNDS", "2"))
+
+    # persistent compile cache: first-ever run pays the (slow, possibly
+    # remote) XLA compile; later runs and rounds reuse it
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+    import similaripy_tpu as sim
+    from similaripy_tpu.utils.synth import (
+        ML32M_ITEMS,
+        ML32M_NNZ,
+        ML32M_USERS,
+        synthetic_urm,
+    )
+
+    t0 = time.perf_counter()
+    urm = synthetic_urm(nnz=int(ML32M_NNZ * scale))
+    gen_s = time.perf_counter() - t0
+    item_user = urm.T.tocsr()
+    n_items = item_user.shape[0]
+    print(
+        f"# dataset: {ML32M_USERS}x{ML32M_ITEMS}, nnz={urm.nnz:,} "
+        f"(scale={scale}), generated in {gen_s:.1f}s",
+        file=sys.stderr,
+    )
+
+    times = []
+    for r in range(rounds + 1):  # round 0 warms the jit caches
+        t0 = time.perf_counter()
+        w = sim.cosine(item_user, k=100, verbose=False)
+        dt = time.perf_counter() - t0
+        print(f"# round {r}: {dt:.2f}s ({n_items / dt:.0f} items/s), nnz={w.nnz:,}",
+              file=sys.stderr)
+        if r > 0:
+            times.append(dt)
+
+    best = min(times)
+    items_per_s = n_items / best
+    print(
+        json.dumps(
+            {
+                "metric": "ml32m_item_item_cosine_k100",
+                "value": round(items_per_s, 1),
+                "unit": "items/s",
+                "vs_baseline": round(items_per_s / BASELINE_ITEMS_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

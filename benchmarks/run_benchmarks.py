@@ -1,0 +1,125 @@
+"""Benchmark CLI runner.
+
+Shape mirrors the reference runner (reference:
+tests/benchmarks/run_benchmarks.py:434-512): pick a dataset and a set of
+similarities, run rounds, print a summary table, write JSON/text reports.
+
+Usage:
+  python benchmarks/run_benchmarks.py --dataset movielens_32m \
+      --similarities dot_product cosine rp3beta --k 100 --rounds 3 \
+      --output-dir reports
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from datetime import datetime, timezone
+
+import similaripy_tpu as sim
+from benchmark import benchmark_similarity, system_info
+from dataset_loaders import DATASETS, load_urm
+
+SIMILARITIES = {
+    "dot_product": lambda m, **kw: sim.dot_product(m, **kw),
+    "cosine": lambda m, **kw: sim.cosine(m, **kw),
+    "asymmetric_cosine": lambda m, **kw: sim.asymmetric_cosine(m, alpha=0.5, **kw),
+    "jaccard": lambda m, **kw: sim.jaccard(m, binary=True, **kw),
+    "dice": lambda m, **kw: sim.dice(m, binary=True, **kw),
+    "tversky": lambda m, **kw: sim.tversky(m, alpha=1.0, beta=1.0, binary=True, **kw),
+    "p3alpha": lambda m, **kw: sim.p3alpha(m, alpha=1.0, **kw),
+    "rp3beta": lambda m, **kw: sim.rp3beta(m, alpha=1.0, beta=0.6, **kw),
+    "s_plus": lambda m, **kw: sim.s_plus(m, l1=0.5, l2=0.5, **kw),
+}
+
+
+def format_summary_table(results: list) -> str:
+    header = (
+        f"{'similarity':<20}{'mean (s)':>10}{'std':>8}{'best (s)':>10}"
+        f"{'items/s':>12}{'out nnz':>14}{'avg nbrs':>10}"
+    )
+    lines = [header, "-" * len(header)]
+    for r in results:
+        lines.append(
+            f"{r.name:<20}{r.mean_s:>10.2f}{r.std_s:>8.2f}{r.best_s:>10.2f}"
+            f"{r.throughput_items_s:>12.1f}{r.output_nnz:>14,}{r.avg_neighbors:>10.1f}"
+        )
+    return "\n".join(lines)
+
+
+def write_reports(results, args, info, provenance, out_dir):
+    os.makedirs(out_dir, exist_ok=True)
+    stamp = datetime.now(timezone.utc).strftime("%Y%m%d_%H%M%S")
+    base = os.path.join(out_dir, f"benchmark_{args.dataset}_{stamp}")
+    payload = {
+        "dataset": args.dataset,
+        "provenance": provenance,
+        "k": args.k,
+        "rounds": args.rounds,
+        "system": info,
+        "results": [r.to_dict() for r in results],
+    }
+    with open(base + ".json", "w") as f:
+        json.dump(payload, f, indent=2)
+    with open(base + ".txt", "w") as f:
+        f.write(f"dataset: {args.dataset} ({provenance})\n")
+        f.write(f"k={args.k} rounds={args.rounds}\n\n")
+        f.write(format_summary_table(results) + "\n")
+    return base + ".json"
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataset", default="synthetic_small", choices=sorted(DATASETS))
+    p.add_argument("--data-path", default=None,
+                   help="local ratings.csv or sparse .npz overriding the dataset")
+    p.add_argument("--similarities", nargs="+",
+                   default=["dot_product", "cosine", "rp3beta"],
+                   choices=sorted(SIMILARITIES))
+    p.add_argument("--k", type=int, default=100)
+    p.add_argument("--rounds", type=int, default=3)
+    p.add_argument("--warmup", type=int, default=1)
+    p.add_argument("--output-dir", default="reports")
+    p.add_argument("--profile-dir", default=None,
+                   help="dump a jax.profiler trace here")
+    p.add_argument("--compute-dtype", default="auto",
+                   choices=["auto", "float32", "bfloat16", "int8"])
+    args = p.parse_args(argv)
+
+    info = system_info()
+    print(f"# backend: {info.get('backend')}, devices: {info.get('devices')}")
+
+    t0 = time.perf_counter()
+    urm, provenance = load_urm(args.dataset, args.data_path)
+    print(f"# loaded {provenance}: {urm.shape[0]}x{urm.shape[1]} nnz={urm.nnz:,} "
+          f"({time.perf_counter() - t0:.1f}s, untimed)")
+    item_user = urm.T.tocsr()  # item-item similarity input (reference protocol)
+
+    results = []
+    for name in args.similarities:
+        print(f"# running {name} (k={args.k}, {args.rounds} rounds)...")
+        r = benchmark_similarity(
+            SIMILARITIES[name],
+            item_user,
+            name=name,
+            k=args.k,
+            rounds=args.rounds,
+            warmup=args.warmup,
+            profile_dir=args.profile_dir,
+            compute_dtype=args.compute_dtype,
+        )
+        results.append(r)
+        print(f"#   {r.mean_s:.2f}s ± {r.std_s:.2f} ({r.throughput_items_s:.0f} items/s)")
+
+    print()
+    print(format_summary_table(results))
+    path = write_reports(results, args, info, provenance, args.output_dir)
+    print(f"\nreport: {path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -26,12 +26,17 @@ def assemble(
     n_output_cols: int,
     format_output: str,
 ):
-    mask = vals > float("-inf")  # drops -inf and NaN slots
-    flat_mask = mask.ravel()
-    k = vals.shape[1]
-    rows = np.repeat(targets.astype(np.int64, copy=False), k)[flat_mask]
-    cols = idx.ravel()[flat_mask].astype(np.int64, copy=False)
-    v = vals.ravel()[flat_mask]
+    try:
+        from ..native import topk_to_coo
+
+        rows, cols, v = topk_to_coo(vals, idx, targets)
+    except Exception:
+        mask = vals > float("-inf")  # drops -inf and NaN slots
+        flat_mask = mask.ravel()
+        k = vals.shape[1]
+        rows = np.repeat(targets.astype(np.int64, copy=False), k)[flat_mask]
+        cols = idx.ravel()[flat_mask].astype(np.int64, copy=False)
+        v = vals.ravel()[flat_mask]
 
     idx_dtype = get_index_dtype(max(int(v.shape[0]), n_output_cols, n_output_rows))
     rows = rows.astype(idx_dtype, copy=False)

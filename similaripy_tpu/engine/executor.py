@@ -164,22 +164,39 @@ def _pad_bucket(n: int, minimum: int = 1024) -> int:
 # ---------------------------------------------------------------------------
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "flags",
-        "k",
-        "trp",
-        "u_pad",
-        "tc",
-        "has_allowed",
-        "has_filter",
-        "has_target",
-        "compute_dtype",
-        "precision",
-    ),
-)
-def _run_panel(
+def compute_cast(compute_dtype: str):
+    """(storage dtype, matmul accumulator dtype) for a compute mode.
+
+    'int8' is the exact-quantization path: inputs that are (scaled) small
+    integers accumulate exactly in int32 on the MXU — both faster than
+    bfloat16 and bit-exact, unlike any float path. The f32 correction by
+    `inv_scale` (pvec[9]) recovers the original magnitude.
+    """
+    if compute_dtype == "bfloat16":
+        return jnp.bfloat16, jnp.float32
+    if compute_dtype == "int8":
+        return jnp.int8, jnp.int32
+    return jnp.float32, jnp.float32
+
+
+def densify(shape, rows, cols, vals, cdt):
+    """Scatter a padded COO into a dense (shape) tile of dtype cdt.
+
+    int8 tiles scatter through a bfloat16 buffer and cast: XLA's TPU
+    scatter is pathologically slow at byte granularity (~1000x), while
+    bfloat16 represents the |v| <= 127 integers of the int8 path exactly.
+    Out-of-range (sentinel-padded) indices are dropped.
+    """
+    sdt = jnp.bfloat16 if cdt == jnp.int8 else cdt
+    d = (
+        jnp.zeros(shape, sdt)
+        .at[rows, cols]
+        .set(vals.astype(sdt), mode="drop", unique_indices=True)
+    )
+    return d.astype(cdt) if sdt != cdt else d
+
+
+def panel_forward(
     m1_rows,
     m1_cols,
     m1_vals,
@@ -187,7 +204,7 @@ def _run_panel(
     x_c,
     x_d,
     tiles,  # dict of stacked per-tile arrays (leading dim n_tiles)
-    pvec,  # (9,) f32: a1 l1 l2 l3 t1 t2 stab bayes threshold
+    pvec,  # (10,) f32: a1 l1 l2 l3 t1 t2 stab bayes threshold inv_scale
     *,
     flags: tuple,
     k: int,
@@ -200,29 +217,25 @@ def _run_panel(
     compute_dtype: str,
     precision: str,
 ):
-    cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    """One row panel x all column tiles: densify, matmul, epilogue, top-K."""
+    cdt, acc = compute_cast(compute_dtype)
     prec = {
         "default": jax.lax.Precision.DEFAULT,
         "high": jax.lax.Precision.HIGH,
         "highest": jax.lax.Precision.HIGHEST,
     }[precision]
+    inv_scale = pvec[9]
 
     # Densify the matrix1 panel: (TRP x U). Padding entries carry row == TRP
     # (out of bounds -> dropped).
-    m1_dense = (
-        jnp.zeros((trp, u_pad), cdt)
-        .at[m1_rows, m1_cols]
-        .set(m1_vals.astype(cdt), mode="drop", unique_indices=True)
-    )
+    m1_dense = densify((trp, u_pad), m1_rows, m1_cols, m1_vals, cdt)
 
     def tile_step(carry, xs):
         topk_vals, topk_idx = carry
-        d = (
-            jnp.zeros((u_pad, tc), cdt)
-            .at[xs["m2_rows"], xs["m2_cols"]]
-            .set(xs["m2_vals"].astype(cdt), mode="drop", unique_indices=True)
-        )
-        xy = jnp.dot(m1_dense, d, preferred_element_type=jnp.float32, precision=prec)
+        d = densify((u_pad, tc), xs["m2_rows"], xs["m2_cols"], xs["m2_vals"], cdt)
+        xy = jnp.dot(m1_dense, d, preferred_element_type=acc, precision=prec)
+        if compute_dtype == "int8":
+            xy = xy.astype(jnp.float32) * inv_scale
 
         candidate = xy != 0.0
         if has_allowed:
@@ -257,6 +270,23 @@ def _run_panel(
     )
     (vals, idx), _ = jax.lax.scan(tile_step, init, tiles)
     return vals, idx
+
+
+_run_panel = partial(
+    jax.jit,
+    static_argnames=(
+        "flags",
+        "k",
+        "trp",
+        "u_pad",
+        "tc",
+        "has_allowed",
+        "has_filter",
+        "has_target",
+        "compute_dtype",
+        "precision",
+    ),
+)(panel_forward)
 
 
 # ---------------------------------------------------------------------------
@@ -316,6 +346,58 @@ def _pad_vec(v: Optional[np.ndarray], n: int, fill: float = 1.0) -> np.ndarray:
     return out
 
 
+def resolve_compute_dtype(requested: str, pre: Preprocessed) -> tuple[str, float]:
+    """Resolve 'auto' to the exact int8 path when the data allows it.
+
+    Returns (compute_dtype, inv_scale). The int8 path is chosen when both
+    matrices hold small integers after a power-of-two scaling (ratings,
+    binary/count data) and the worst-case dot product fits int32 — then
+    every xy is accumulated exactly on the MXU, which is simultaneously
+    faster than bfloat16 and more accurate than float32 HIGHEST.
+    """
+    s1, s2 = pre.qscale1, pre.qscale2
+    if requested == "int8":
+        if s1 is None or s2 is None:
+            raise ValueError(
+                "compute_dtype='int8' requires data integerizable to |v|<=127 "
+                "after a power-of-two scaling; use 'auto' to fall back safely"
+            )
+        return "int8", 1.0 / (s1 * s2)
+    if requested != "auto":
+        return requested, 1.0
+    if s1 is None or s2 is None:
+        return "float32", 1.0
+    m1, m2 = pre.m1, pre.m2
+    maxv1 = float(np.abs(m1.data).max()) * s1 if m1.nnz else 0.0
+    maxv2 = float(np.abs(m2.data).max()) * s2 if m2.nnz else 0.0
+    max_row_nnz1 = int(np.diff(m1.indptr).max()) if m1.nnz else 0
+    max_col_nnz2 = (
+        int(np.bincount(m2.indices, minlength=m2.shape[1]).max()) if m2.nnz else 0
+    )
+    overlap = min(max_row_nnz1, max_col_nnz2)
+    if maxv1 * maxv2 * max(overlap, 1) >= 2.0**30:
+        return "float32", 1.0
+    return "int8", 1.0 / (s1 * s2)
+
+
+def build_pvec(params: SPlusParams, inv_scale: float = 1.0) -> np.ndarray:
+    return np.array(
+        [
+            params.a1,
+            params.l1,
+            params.l2,
+            params.l3,
+            params.t1,
+            params.t2,
+            params.stabilized_shrink,
+            params.bayesian_shrink,
+            params.threshold,
+            inv_scale,
+        ],
+        dtype=np.float32,
+    )
+
+
 def execute(
     pre: Preprocessed,
     params: SPlusParams,
@@ -338,7 +420,8 @@ def execute(
             np.zeros((T, max(k, 1)), np.int32),
         )
 
-    itemsize = 2 if compute_dtype == "bfloat16" else 4
+    compute_dtype, inv_scale = resolve_compute_dtype(compute_dtype, pre)
+    itemsize = {"bfloat16": 2, "int8": 3}.get(compute_dtype, 4)  # int8 scatters via bf16
     plan = plan_tiles(T, U, C, k, itemsize, block_size_hint, budget_bytes)
     trp, tc, u_pad = plan.panel_rows, plan.tile_cols, plan.u_pad
     n_tiles = plan.n_tiles
@@ -348,6 +431,10 @@ def execute(
 
     # matrix2 tiles: CSC slicing gives contiguous per-tile nnz
     m2_csc = m2.tocsc()
+    if compute_dtype == "int8":
+        # exact integerization; f32->int8 casts on device are then lossless
+        m1_t.data = np.rint(m1_t.data * pre.qscale1).astype(np.float32)
+        m2_csc.data = np.rint(m2_csc.data * pre.qscale2).astype(np.float32)
     t_rows, t_cols, t_vals = _stack_m2_tiles(m2_csc, C, tc, n_tiles, u_pad)
 
     c_pad = n_tiles * tc
@@ -376,22 +463,7 @@ def execute(
     fil_t = pre.filter_matrix[targets] if has_filter else None
     tgt_t = pre.target_matrix[targets] if has_target else None
 
-    pvec = jnp.asarray(
-        np.array(
-            [
-                params.a1,
-                params.l1,
-                params.l2,
-                params.l3,
-                params.t1,
-                params.t2,
-                params.stabilized_shrink,
-                params.bayesian_shrink,
-                params.threshold,
-            ],
-            dtype=np.float32,
-        )
-    )
+    pvec = jnp.asarray(build_pvec(params, inv_scale))
 
     out_vals = np.empty((T, k), np.float32)
     out_idx = np.empty((T, k), np.int32)

@@ -168,6 +168,10 @@ class Preprocessed:
     target_matrix: Optional[sp.csr_array] = None  # MATRIX-mode inclusion
     n_output_rows: int = 0
     n_output_cols: int = 0
+    # power-of-two scales making each matrix's data small integers (None when
+    # not integerizable) — enables the exact int8 MXU path (executor.py)
+    qscale1: Optional[float] = None
+    qscale2: Optional[float] = None
 
 
 def preprocess(
@@ -241,6 +245,9 @@ def preprocess(
         out.Xd = _depop_vector(weight_depop_matrix1, p1, m1, axis=1)
         out.Yd = _depop_vector(weight_depop_matrix2, p2, m2, axis=0)
 
+    out.qscale1 = quantize_scale(m1.data)
+    out.qscale2 = quantize_scale(m2.data)
+
     # --- column selectors (reference: s_plus.pyx:284-295) ---
     filter_sel = build_column_selector(filter_cols)
     target_sel = build_column_selector(target_cols)
@@ -251,6 +258,25 @@ def preprocess(
         out.target_matrix = target_sel.matrix
 
     return out
+
+
+def quantize_scale(data: np.ndarray) -> Optional[float]:
+    """Smallest power-of-two s such that s*data is integral with |s*d| <= 127.
+
+    Ratings data is typically half-star (s=2) or integer/binary (s=1); count
+    data small integers. A hit arms the exact int8 MXU path (executor.py).
+    """
+    if data.shape[0] == 0:
+        return 1.0
+    if np.abs(data).max() > 127:
+        return None
+    for s in (1.0, 2.0, 4.0, 8.0):
+        scaled = data * s
+        if np.abs(scaled).max() > 127:
+            return None
+        if np.allclose(scaled, np.rint(scaled), rtol=0, atol=1e-6):
+            return s
+    return None
 
 
 def _depop_vector(spec, power: float, m: sp.csr_array, axis: int) -> np.ndarray:

@@ -40,7 +40,11 @@ from .executor import (
     _round_up,
     _stack_m2_tiles,
     _stack_selector_tiles,
+    build_pvec,
+    compute_cast,
+    densify,
     plan_tiles,
+    resolve_compute_dtype,
     splus_epilogue,
     topk_merge,
 )
@@ -113,7 +117,7 @@ def _run_sharded_panel(
     compute_dtype: str,
     precision: str,
 ):
-    cdt = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    cdt, acc = compute_cast(compute_dtype)
     prec = {
         "default": jax.lax.Precision.DEFAULT,
         "high": jax.lax.Precision.HIGH,
@@ -130,20 +134,14 @@ def _run_sharded_panel(
             for k2, v in tiles.items()
         }
 
-        m1_dense = (
-            jnp.zeros((trp, u_pad), cdt)
-            .at[m1_rows, m1_cols]
-            .set(m1_vals.astype(cdt), mode="drop", unique_indices=True)
-        )
+        m1_dense = densify((trp, u_pad), m1_rows, m1_cols, m1_vals, cdt)
 
         def tile_step(carry, xs):
             topk_vals, topk_idx = carry
-            d = (
-                jnp.zeros((u_pad, tc), cdt)
-                .at[xs["m2_rows"], xs["m2_cols"]]
-                .set(xs["m2_vals"].astype(cdt), mode="drop", unique_indices=True)
-            )
-            xy = jnp.dot(m1_dense, d, preferred_element_type=jnp.float32, precision=prec)
+            d = densify((u_pad, tc), xs["m2_rows"], xs["m2_cols"], xs["m2_vals"], cdt)
+            xy = jnp.dot(m1_dense, d, preferred_element_type=acc, precision=prec)
+            if compute_dtype == "int8":
+                xy = xy.astype(jnp.float32) * pvec[9]
 
             candidate = xy != 0.0
             if has_allowed:
@@ -238,7 +236,8 @@ def execute_sharded(
         )
 
     # --- plan: per-shard column span, tiled; per-shard row panel ---
-    itemsize = 2 if compute_dtype == "bfloat16" else 4
+    compute_dtype, inv_scale = resolve_compute_dtype(compute_dtype, pre)
+    itemsize = {"bfloat16": 2, "int8": 3}.get(compute_dtype, 4)  # int8 scatters via bf16
     c_span = _round_up(math.ceil(C / C_sh), 128)
     plan = plan_tiles(
         max(math.ceil(T / R_sh), 8), U, c_span, k, itemsize, block_size_hint,
@@ -252,6 +251,9 @@ def execute_sharded(
 
     m1_t = m1[targets]
     m2_csc = m2.tocsc()
+    if compute_dtype == "int8":
+        m1_t.data = np.rint(m1_t.data * pre.qscale1).astype(np.float32)
+        m2_csc.data = np.rint(m2_csc.data * pre.qscale2).astype(np.float32)
 
     # --- per-col-shard m2 tiles, padded to one global nnz bucket ---
     shard_tiles = []
@@ -310,16 +312,7 @@ def execute_sharded(
     fil_t = pre.filter_matrix[targets] if has_filter else None
     tgt_t = pre.target_matrix[targets] if has_target else None
 
-    pvec = jnp.asarray(
-        np.array(
-            [
-                params.a1, params.l1, params.l2, params.l3,
-                params.t1, params.t2,
-                params.stabilized_shrink, params.bayesian_shrink, params.threshold,
-            ],
-            dtype=np.float32,
-        )
-    )
+    pvec = jnp.asarray(build_pvec(params, inv_scale))
 
     out_vals = np.empty((T, k), np.float32)
     out_idx = np.empty((T, k), np.int32)

@@ -8,7 +8,9 @@ and COO/CSR output assembly — re-orchestrated for the TPU executor.
 
 TPU-specific extensions (keyword-only, defaulted so reference call sites
 work unchanged):
-  compute_dtype : 'float32' (default) or 'bfloat16' for 2x MXU throughput
+  compute_dtype : 'auto' (default; picks the exact int8 MXU path for
+                  integral data, else float32) | 'float32' | 'bfloat16'
+                  (2x MXU throughput, ~3 significant digits) | 'int8'
   precision     : 'highest' (default; f32-faithful) | 'high' | 'default'
   mesh          : optional jax.sharding.Mesh for multi-device execution
 
@@ -59,7 +61,7 @@ def s_plus(
     num_threads: int = 0,
     block_size: Optional[int] = 0,
     # --- TPU extensions ---
-    compute_dtype: str = "float32",
+    compute_dtype: str = "auto",
     precision: str = "highest",
     mesh=None,
 ):

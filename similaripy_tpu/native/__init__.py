@@ -27,11 +27,19 @@ def _load():
     _LIB_TRIED = True
     path = os.path.join(os.path.dirname(__file__), "libsimtpu.so")
     if not os.path.exists(path):
+        try:  # build lazily on first use; fall back silently without g++
+            from .build import build
+
+            build(verbose=False)
+        except Exception:
+            return None
+    if not os.path.exists(path):
         return None
     try:
         lib = ctypes.CDLL(path)
         lib.coo_to_csr32.restype = None
         lib.coo_to_csr64.restype = None
+        lib.topk_to_coo.restype = ctypes.c_longlong
         _LIB = lib
     except OSError:
         _LIB = None
@@ -60,8 +68,9 @@ def coo_to_csr(rows, cols, vals, n_rows: int, idx_dtype):
     data = np.empty(nnz, dtype=np.float32)
     fn = lib.coo_to_csr32 if idx_dtype == np.int32 else lib.coo_to_csr64
     c_long = ctypes.c_longlong
+    first = ctypes.c_int(n_rows) if idx_dtype == np.int32 else c_long(n_rows)
     fn(
-        ctypes.c_int(n_rows),
+        first,
         c_long(nnz),
         rows.ctypes.data_as(ctypes.c_void_p),
         cols.ctypes.data_as(ctypes.c_void_p),
@@ -71,3 +80,29 @@ def coo_to_csr(rows, cols, vals, n_rows: int, idx_dtype):
         data.ctypes.data_as(ctypes.c_void_p),
     )
     return indptr, indices, data
+
+
+def topk_to_coo(vals, idx, targets):
+    """Fused -inf/NaN filtering + (row, col, val) extraction from (T, k)
+    top-K panels (reference: s_plus.pyx:351-353 output buffers)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not built")
+    T, k = vals.shape
+    vals = np.ascontiguousarray(vals, dtype=np.float32)
+    idx = np.ascontiguousarray(idx, dtype=np.int32)
+    targets = np.ascontiguousarray(targets, dtype=np.int32)
+    out_rows = np.empty(T * k, dtype=np.int64)
+    out_cols = np.empty(T * k, dtype=np.int64)
+    out_vals = np.empty(T * k, dtype=np.float32)
+    n = lib.topk_to_coo(
+        ctypes.c_longlong(T),
+        ctypes.c_longlong(k),
+        vals.ctypes.data_as(ctypes.c_void_p),
+        idx.ctypes.data_as(ctypes.c_void_p),
+        targets.ctypes.data_as(ctypes.c_void_p),
+        out_rows.ctypes.data_as(ctypes.c_void_p),
+        out_cols.ctypes.data_as(ctypes.c_void_p),
+        out_vals.ctypes.data_as(ctypes.c_void_p),
+    )
+    return out_rows[:n], out_cols[:n], out_vals[:n]
