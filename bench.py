@@ -60,7 +60,7 @@ def main():
     print(
         f"# dataset: {ML32M_USERS}x{ML32M_ITEMS}, nnz={urm.nnz:,} "
         f"(scale={scale}), generated in {gen_s:.1f}s",
-        file=sys.stderr,
+        file=sys.stderr, flush=True,
     )
 
     times = []
@@ -69,7 +69,7 @@ def main():
         w = sim.cosine(item_user, k=100, verbose=False)
         dt = time.perf_counter() - t0
         print(f"# round {r}: {dt:.2f}s ({n_items / dt:.0f} items/s), nnz={w.nnz:,}",
-              file=sys.stderr)
+              file=sys.stderr, flush=True)
         if r > 0:
             times.append(dt)
 

@@ -157,3 +157,51 @@ def test_float64_path():
     row_norms = np.sqrt(np.asarray(X.multiply(X).sum(axis=1))).ravel()
     row_norms[row_norms == 0] = 1
     np.testing.assert_allclose(out.toarray(), X.toarray() / row_norms[:, None], rtol=1e-12)
+
+
+def test_tf_modes_values():
+    """Each TF mode vs its explicit formula (reference: normalization.pyx:47-69)."""
+    X = generate_random_matrix(n_rows=80, n_cols=50, density=0.1)
+    dl = np.asarray(X.sum(axis=1)).ravel()
+    row_ids = np.repeat(np.arange(X.shape[0]), np.diff(X.indptr))
+    tf_expected = {
+        "binary": np.ones_like(X.data),
+        "raw": X.data,
+        "sqrt": np.sqrt(X.data),
+        "freq": X.data / dl[row_ids],
+        "log": np.log1p(X.data),
+    }
+    for mode, exp in tf_expected.items():
+        out = norm.tfidf(X, tf_mode=mode, idf_mode="unary", logbase=np.e)
+        np.testing.assert_allclose(out.tocsr().data, exp, rtol=1e-5,
+                                   err_msg=f"tf_mode={mode}")
+
+
+def test_idf_modes_values():
+    """Each IDF mode vs its explicit formula (reference: normalization.pyx:72-94)."""
+    X = generate_random_matrix(n_rows=80, n_cols=50, density=0.1)
+    n = float(X.shape[0])
+    df = np.diff((X > 0).tocsc().indptr).astype(np.float64)
+    idf_expected = {
+        "unary": np.ones_like(df),
+        "base": np.log(n / df),
+        "smooth": np.log(n / (1.0 + df)),
+        "prob": np.log((n - df) / df),
+        "bm25": np.log((n - df + 0.5) / (df + 0.5)),
+    }
+    col_ids = X.tocsr().indices
+    for mode, exp in idf_expected.items():
+        out = norm.tfidf(X, tf_mode="binary", idf_mode=mode, logbase=np.e)
+        np.testing.assert_allclose(
+            out.tocsr().data, exp[col_ids], rtol=1e-4, atol=1e-6,
+            err_msg=f"idf_mode={mode}",
+        )
+
+
+def test_logbase():
+    X = generate_random_matrix(n_rows=60, n_cols=40, density=0.1)
+    out_e = norm.tfidf(X, tf_mode="binary", idf_mode="base", logbase=np.e)
+    out_2 = norm.tfidf(X, tf_mode="binary", idf_mode="base", logbase=2.0)
+    np.testing.assert_allclose(
+        out_2.tocsr().data, out_e.tocsr().data / np.log(2.0), rtol=1e-5
+    )
