@@ -32,6 +32,35 @@ import numpy as np
 BASELINE_ITEMS_PER_S = 17147.5  # reference sample, real ML-32M cosine k=100
 
 
+def _sample_recall(item_user, result, k: int, n_sample: int, seed: int = 1):
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(seed)
+    n_items = item_user.shape[0]
+    sample = rng.choice(n_items, size=n_sample, replace=False)
+    sq = item_user.multiply(item_user)
+    norms = np.sqrt(np.asarray(sq.sum(axis=1)).ravel())
+    scores = np.asarray((item_user[sample] @ item_user.T).todense())
+    denom = norms[sample][:, None] * norms[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = np.where(denom > 0, scores / denom, 0.0)
+    cos[scores == 0] = 0.0  # non-candidates
+
+    res = result.tocsr()
+    hits, total = 0, 0
+    for i, row in enumerate(sample):
+        oracle = cos[i]
+        nz = oracle[oracle > 0]
+        kk = min(k, nz.shape[0])
+        if kk == 0:
+            continue
+        kth = -np.partition(-nz, kk - 1)[kk - 1]
+        got = res.indices[res.indptr[row] : res.indptr[row + 1]]
+        hits += int((oracle[got] >= kth * (1 - 1e-6)).sum())
+        total += kk
+    return hits / max(total, 1)
+
+
 def main():
     scale = float(os.environ.get("SIMILARIPY_BENCH_SCALE", "1.0"))
     rounds = int(os.environ.get("SIMILARIPY_BENCH_ROUNDS", "2"))
@@ -72,6 +101,16 @@ def main():
               file=sys.stderr, flush=True)
         if r > 0:
             times.append(dt)
+
+    # recall@100 vs an exact SciPy oracle on a row sample (tie-tolerant:
+    # an engine pick counts as a hit if its oracle score reaches the
+    # oracle's 100th-best score)
+    try:
+        recall = _sample_recall(item_user, w, k=100, n_sample=256)
+        print(f"# recall@100 (256-row sample) vs exact oracle: {recall:.4f}",
+              file=sys.stderr, flush=True)
+    except Exception as e:  # never let the probe kill the benchmark
+        print(f"# recall probe failed: {e!r}", file=sys.stderr, flush=True)
 
     best = min(times)
     items_per_s = n_items / best

@@ -27,6 +27,7 @@ filtered cells are set to -inf and can never enter the top-K.
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Optional
@@ -288,21 +289,206 @@ def panel_forward(
     return vals, idx
 
 
-_run_panel = partial(
+# ---------------------------------------------------------------------------
+# Grouped execution: tiles densified once, panels stream over resident tiles
+# ---------------------------------------------------------------------------
+#
+# The scan-over-tiles layout (panel outer, tile inner) re-scatters every
+# matrix2 tile for every panel — O(nnz * n_panels) scatter work that
+# dominated the ML-32M profile. The grouped layout densifies a group of
+# tiles ONCE into HBM (as much as fits), then every panel streams over the
+# resident group; total scatter work drops to O(nnz * n_groups) for
+# matrix1 and O(nnz) for matrix2.
+
+
+@partial(jax.jit, static_argnames=("u_pad", "tc", "compute_dtype"))
+def _densify_group(rows, cols, vals, *, u_pad: int, tc: int, compute_dtype: str):
+    """(G, p2) COO arrays -> (G, u_pad, tc) dense tiles (sequential map to
+    bound the bf16-scatter transient to one tile)."""
+    cdt, _ = compute_cast(compute_dtype)
+
+    def one(args):
+        r, c, v = args
+        return densify((u_pad, tc), r, c, v, cdt)
+
+    return jax.lax.map(one, (rows, cols, vals))
+
+
+@partial(
     jax.jit,
     static_argnames=(
-        "flags",
-        "k",
-        "trp",
-        "u_pad",
-        "tc",
-        "has_allowed",
-        "has_filter",
-        "has_target",
-        "compute_dtype",
-        "precision",
+        "flags", "k", "k_pad", "trp", "u_pad", "tc",
+        "has_allowed", "has_filter", "has_target",
+        "compute_dtype", "precision", "use_pallas",
     ),
-)(panel_forward)
+    donate_argnums=(9, 10),
+)
+def _run_panel_group(
+    m1_rows,
+    m1_cols,
+    m1_vals,
+    x_t,
+    x_c,
+    x_d,
+    d_stack,  # (G, u_pad, tc) dense tiles
+    tiles,  # dict of per-tile arrays, leading dim G
+    pvec,  # (10,)
+    carry_vals,  # (trp, k) donated
+    carry_idx,  # (trp, k) donated
+    *,
+    flags: tuple,
+    k: int,
+    k_pad: int,
+    trp: int,
+    u_pad: int,
+    tc: int,
+    has_allowed: bool,
+    has_filter: bool,
+    has_target: bool,
+    compute_dtype: str,
+    precision: str,
+    use_pallas: bool,
+):
+    cdt, acc = compute_cast(compute_dtype)
+    prec = {
+        "default": jax.lax.Precision.DEFAULT,
+        "high": jax.lax.Precision.HIGH,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[precision]
+
+    m1_dense = densify((trp, u_pad), m1_rows, m1_cols, m1_vals, cdt)
+    tiles = dict(tiles)
+    tiles["d"] = d_stack
+
+    def tile_step(carry, xs):
+        topk_vals, topk_idx = carry
+        d = xs["d"]
+
+        fmask = tmask = None
+        if has_filter:
+            fmask = (
+                jnp.zeros((trp, tc), jnp.uint8)
+                .at[xs["fil_rows"], xs["fil_cols"]]
+                .set(1, mode="drop")
+            )
+        if has_target:
+            tmask = (
+                jnp.zeros((trp, tc), jnp.uint8)
+                .at[xs["tgt_rows"], xs["tgt_cols"]]
+                .set(1, mode="drop")
+            )
+
+        if use_pallas:
+            from .pallas_kernels import fused_tile_topk
+
+            pvec_ext = jnp.concatenate(
+                [pvec, xs["col_offset"][0].astype(jnp.float32).reshape(1),
+                 jnp.zeros(5, jnp.float32)]
+            )
+            vals_t, idx_t = fused_tile_topk(
+                m1_dense,
+                d,
+                x_t, x_c, x_d,
+                xs["y_t"], xs["y_c"], xs["y_d"],
+                pvec_ext,
+                allowed=xs["allowed"].astype(jnp.uint8) if has_allowed else None,
+                fmask=fmask,
+                tmask=tmask,
+                flags=flags,
+                k_pad=k_pad,
+                int8_mode=compute_dtype == "int8",
+                precision=prec,
+                interpret=jax.default_backend() != "tpu",
+            )
+            cand_vals, cand_idx = vals_t.T, idx_t.T
+            all_vals = jnp.concatenate([topk_vals, cand_vals], axis=1)
+            all_idx = jnp.concatenate([topk_idx, cand_idx], axis=1)
+            new_vals, pos = jax.lax.top_k(all_vals, k)
+            new_idx = jnp.take_along_axis(all_idx, pos, axis=1)
+            return (new_vals, new_idx), None
+
+        xy = jnp.dot(m1_dense, d, preferred_element_type=acc, precision=prec)
+        if compute_dtype == "int8":
+            xy = xy.astype(jnp.float32) * pvec[9]
+        candidate = xy != 0.0
+        if has_allowed:
+            candidate = jnp.logical_and(candidate, xs["allowed"][None, :])
+        if has_filter:
+            candidate = jnp.logical_and(candidate, fmask == 0)
+        if has_target:
+            candidate = jnp.logical_and(candidate, tmask != 0)
+        val = splus_epilogue(
+            xy, candidate, x_t, x_c, x_d,
+            xs["y_t"], xs["y_c"], xs["y_d"], pvec, flags,
+        )
+        col_ids = xs["col_offset"] + jax.lax.broadcasted_iota(jnp.int32, (1, tc), 1)
+        new_vals, new_idx = topk_merge(topk_vals, topk_idx, val, col_ids, k)
+        return (new_vals, new_idx), None
+
+    (vals, idx), _ = jax.lax.scan(tile_step, (carry_vals, carry_idx), tiles)
+    return vals, idx
+
+
+# ---------------------------------------------------------------------------
+# Device-resident input cache
+# ---------------------------------------------------------------------------
+#
+# Production candidate retrieval calls the engine repeatedly against the
+# same matrices (every scoring batch reuses the item matrix). The reference
+# re-walks its CSR arrays from scratch each call; on TPU the equivalent
+# waste is re-staging + re-uploading tile COOs over PCIe/tunnel every call.
+# Content-fingerprinted caching keeps the device copies alive across calls.
+
+_DEVICE_CACHE: dict = {}
+_DEVICE_CACHE_CAP = 4
+
+
+def _cache_get(key):
+    return _DEVICE_CACHE.get(key)
+
+
+def _cache_put(key, value):
+    if len(_DEVICE_CACHE) >= _DEVICE_CACHE_CAP:
+        _DEVICE_CACHE.pop(next(iter(_DEVICE_CACHE)))
+    _DEVICE_CACHE[key] = value
+
+
+def clear_device_cache():
+    _DEVICE_CACHE.clear()
+
+
+def _pallas_enabled() -> bool:
+    """Fused Pallas kernel on TPU by default; SIMILARIPY_TPU_USE_PALLAS=1
+    forces it elsewhere (interpret mode — for tests), =0 disables."""
+    env = os.environ.get("SIMILARIPY_TPU_USE_PALLAS")
+    if env is not None:
+        return env not in ("0", "false", "")
+    from ..utils.env import on_tpu
+
+    return on_tpu()
+
+
+def _fingerprint(*arrays) -> str:
+    """Cheap content fingerprint: full structure arrays are hashed sampled
+    so a 30M-nnz matrix keys in ~10 ms; collisions are vanishingly unlikely
+    for real inputs (shape + nnz + strided content samples)."""
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=16)
+    for a in arrays:
+        if a is None:
+            h.update(b"\x00none")
+            continue
+        a = np.asarray(a)
+        h.update(str(a.shape).encode())
+        h.update(str(a.dtype).encode())
+        n = a.size
+        if n:
+            flat = a.reshape(-1)
+            stride = max(n // 4096, 1)
+            h.update(np.ascontiguousarray(flat[::stride]).tobytes())
+            h.update(flat[-1:].tobytes())
+    return h.hexdigest()
 
 
 # ---------------------------------------------------------------------------
@@ -529,6 +715,36 @@ def execute(
     trp, tc, u_pad = plan.panel_rows, plan.tile_cols, plan.u_pad
     n_tiles = plan.n_tiles
 
+    # ---- fused-kernel alignment + group sizing ----
+    use_pallas = _pallas_enabled()
+    k_pad = k
+    if use_pallas:
+        from .pallas_kernels import DEFAULT_TC, KB, TM
+
+        max_tc = DEFAULT_TC if compute_dtype != "float32" else DEFAULT_TC // 2
+        tc = _round_up(min(tc, max_tc, _round_up(C, 128)), 128)
+        trp = min(_round_up(trp, TM), _round_up(T, TM))
+        u_pad = _round_up(u_pad, KB)
+        k_pad = _round_up(min(k, tc), 8)
+        n_tiles = math.ceil(C / tc)
+        if k_pad > 512:
+            use_pallas = False  # extraction loop too deep; XLA path instead
+            k_pad = k
+
+    # group size: how many dense (u_pad x tc) tiles fit in HBM next to the
+    # panel working set; every group is densified exactly once
+    budget = budget_bytes if budget_bytes is not None else hbm_budget_bytes()
+    dense_item = {"bfloat16": 2, "int8": 1}.get(compute_dtype, 4)
+    tile_bytes = u_pad * tc * dense_item
+    m1_bytes = trp * u_pad * (dense_item + (2 if compute_dtype == "int8" else 0))
+    reserve = m1_bytes + trp * tc * 16 + (1 << 30)
+    g_tiles = max(1, int((budget * 0.85 - reserve) // tile_bytes))
+    g_tiles = min(g_tiles, n_tiles)
+    # pad the tile count so every group has exactly g_tiles tiles (stable
+    # compiled shapes); the extra tiles are empty and contribute nothing
+    n_groups = math.ceil(n_tiles / g_tiles)
+    n_tiles = n_groups * g_tiles
+
     # matrix1 restricted to target rows (host CSR row gather)
     m1_t = m1[targets]
 
@@ -538,30 +754,46 @@ def execute(
         # exact integerization; f32->int8 casts on device are then lossless
         m1_t.data = np.rint(m1_t.data * pre.qscale1).astype(np.float32)
         m2_csc.data = np.rint(m2_csc.data * pre.qscale2).astype(np.float32)
-    col_nnz = np.diff(m2_csc.indptr)
-    tile_lists, col_map = balance_columns(col_nnz, n_tiles, tc)
-    t_rows, t_cols, t_vals = _stack_m2_tiles_balanced(m2_csc, tile_lists, tc, u_pad)
 
-    yt = _vec_by_map(pre.Yt, col_map, C).reshape(n_tiles, tc)
-    yc = _vec_by_map(pre.Yc, col_map, C).reshape(n_tiles, tc)
-    yd = _vec_by_map(pre.Yd, col_map, C).reshape(n_tiles, tc)
-    col_offsets = (np.arange(n_tiles, dtype=np.int32) * tc).reshape(n_tiles, 1)
+    m2_key = (
+        "m2",
+        _fingerprint(
+            m2_csc.indptr, m2_csc.indices, m2_csc.data,
+            pre.Yt, pre.Yc, pre.Yd, pre.col_allowed,
+        ),
+        tc, n_tiles, u_pad,
+    )
+    cached = _cache_get(m2_key)
+    if cached is None:
+        col_nnz = np.diff(m2_csc.indptr)
+        tile_lists, col_map = balance_columns(col_nnz, n_tiles, tc)
+        t_rows, t_cols, t_vals = _stack_m2_tiles_balanced(
+            m2_csc, tile_lists, tc, u_pad
+        )
 
-    tiles_common = {
-        "m2_rows": jnp.asarray(t_rows),
-        "m2_cols": jnp.asarray(t_cols),
-        "m2_vals": jnp.asarray(t_vals),
-        "y_t": jnp.asarray(yt),
-        "y_c": jnp.asarray(yc),
-        "y_d": jnp.asarray(yd),
-        "col_offset": jnp.asarray(col_offsets),
-    }
-    has_allowed = pre.col_allowed is not None
-    if has_allowed:
-        allowed = np.zeros(col_map.shape[0], dtype=bool)
-        used = col_map < C
-        allowed[used] = pre.col_allowed[col_map[used]]
-        tiles_common["allowed"] = jnp.asarray(allowed.reshape(n_tiles, tc))
+        yt = _vec_by_map(pre.Yt, col_map, C).reshape(n_tiles, tc)
+        yc = _vec_by_map(pre.Yc, col_map, C).reshape(n_tiles, tc)
+        yd = _vec_by_map(pre.Yd, col_map, C).reshape(n_tiles, tc)
+        col_offsets = (np.arange(n_tiles, dtype=np.int32) * tc).reshape(n_tiles, 1)
+
+        tiles_common = {
+            "m2_rows": jnp.asarray(t_rows),
+            "m2_cols": jnp.asarray(t_cols),
+            "m2_vals": jnp.asarray(t_vals),
+            "y_t": jnp.asarray(yt),
+            "y_c": jnp.asarray(yc),
+            "y_d": jnp.asarray(yd),
+            "col_offset": jnp.asarray(col_offsets),
+        }
+        if pre.col_allowed is not None:
+            allowed = np.zeros(col_map.shape[0], dtype=bool)
+            used = col_map < C
+            allowed[used] = pre.col_allowed[col_map[used]]
+            tiles_common["allowed"] = jnp.asarray(allowed.reshape(n_tiles, tc))
+        _cache_put(m2_key, (tiles_common, col_map, tile_lists))
+    else:
+        tiles_common, col_map, tile_lists = cached
+    has_allowed = "allowed" in tiles_common
 
     has_filter = pre.filter_matrix is not None
     has_target = pre.target_matrix is not None
@@ -578,64 +810,120 @@ def execute(
     xd_full = pre.Xd if pre.Xd is not None else None
 
     n_panels = math.ceil(T / trp)
+
+    m1_key = (
+        "m1",
+        _fingerprint(
+            m1_t.indptr, m1_t.indices, m1_t.data, targets,
+            xt_full, xc_full, xd_full,
+        ),
+        trp,
+    )
+    panels_dev = _cache_get(m1_key)
+    if panels_dev is None:
+        panels_dev = []
+        for p in range(n_panels):
+            r0, r1 = p * trp, min((p + 1) * trp, T)
+            rows_here = r1 - r0
+            panel = m1_t[r0:r1]
+
+            # panel COO, padded (sentinel row = trp -> dropped by scatter)
+            nnz = panel.data.shape[0]
+            p1 = _pad_bucket(nnz)
+            pr = np.full(p1, trp, dtype=np.int32)
+            pc = np.zeros(p1, dtype=np.int32)
+            pv = np.zeros(p1, dtype=np.float32)
+            pr[:nnz] = np.repeat(
+                np.arange(rows_here, dtype=np.int32), np.diff(panel.indptr)
+            )
+            pc[:nnz] = panel.indices
+            pv[:nnz] = panel.data
+
+            tgt_ids = targets[r0:r1]
+            x_t = _pad_vec(xt_full[tgt_ids] if xt_full is not None else None, trp)
+            x_c = _pad_vec(xc_full[tgt_ids] if xc_full is not None else None, trp)
+            x_d = _pad_vec(xd_full[tgt_ids] if xd_full is not None else None, trp)
+            panels_dev.append(
+                tuple(jnp.asarray(a) for a in (pr, pc, pv, x_t, x_c, x_d))
+            )
+        _cache_put(m1_key, panels_dev)
+
+    # per-panel selector tiles (host-prepped once, sliced per group)
+    sel_tiles = []
     for p in range(n_panels):
         r0, r1 = p * trp, min((p + 1) * trp, T)
-        rows_here = r1 - r0
-        panel = m1_t[r0:r1]
-
-        # panel COO, padded (sentinel row = trp -> dropped by scatter)
-        nnz = panel.data.shape[0]
-        p1 = _pad_bucket(nnz)
-        pr = np.full(p1, trp, dtype=np.int32)
-        pc = np.zeros(p1, dtype=np.int32)
-        pv = np.zeros(p1, dtype=np.float32)
-        pr[:nnz] = np.repeat(
-            np.arange(rows_here, dtype=np.int32), np.diff(panel.indptr)
-        )
-        pc[:nnz] = panel.indices
-        pv[:nnz] = panel.data
-
-        tgt_ids = targets[r0:r1]
-        x_t = _pad_vec(xt_full[tgt_ids] if xt_full is not None else None, trp)
-        x_c = _pad_vec(xc_full[tgt_ids] if xc_full is not None else None, trp)
-        x_d = _pad_vec(xd_full[tgt_ids] if xd_full is not None else None, trp)
-
-        tiles = dict(tiles_common)
+        entry = {}
         if has_filter:
             fr, fc = _stack_selector_tiles_balanced(
                 fil_t[r0:r1].tocsc(), tile_lists, tc, trp
             )
-            tiles["fil_rows"], tiles["fil_cols"] = jnp.asarray(fr), jnp.asarray(fc)
+            entry["fil_rows"], entry["fil_cols"] = jnp.asarray(fr), jnp.asarray(fc)
         if has_target:
             tr, tcl = _stack_selector_tiles_balanced(
                 tgt_t[r0:r1].tocsc(), tile_lists, tc, trp
             )
-            tiles["tgt_rows"], tiles["tgt_cols"] = jnp.asarray(tr), jnp.asarray(tcl)
+            entry["tgt_rows"], entry["tgt_cols"] = jnp.asarray(tr), jnp.asarray(tcl)
+        sel_tiles.append(entry)
 
-        vals, idx = _run_panel(
-            jnp.asarray(pr),
-            jnp.asarray(pc),
-            jnp.asarray(pv),
-            jnp.asarray(x_t),
-            jnp.asarray(x_c),
-            jnp.asarray(x_d),
-            tiles,
-            pvec,
-            flags=params.static_flags(),
-            k=k,
-            trp=trp,
+    carries = [
+        (
+            jnp.full((trp, k), NEG_INF, jnp.float32),
+            jnp.zeros((trp, k), jnp.int32),
+        )
+        for _ in range(n_panels)
+    ]
+
+    for g in range(n_groups):
+        t0, t1 = g * g_tiles, (g + 1) * g_tiles
+        d_stack = _densify_group(
+            tiles_common["m2_rows"][t0:t1],
+            tiles_common["m2_cols"][t0:t1],
+            tiles_common["m2_vals"][t0:t1],
             u_pad=u_pad,
             tc=tc,
-            has_allowed=has_allowed,
-            has_filter=has_filter,
-            has_target=has_target,
             compute_dtype=compute_dtype,
-            precision=precision,
         )
-        out_vals[r0:r1] = np.asarray(vals)[:rows_here]
-        out_idx[r0:r1] = np.asarray(idx)[:rows_here]
-        if progress is not None:
-            progress.update(rows_here)
+        group_tiles = {
+            name: tiles_common[name][t0:t1]
+            for name in ("y_t", "y_c", "y_d", "col_offset")
+        }
+        if has_allowed:
+            group_tiles["allowed"] = tiles_common["allowed"][t0:t1]
+
+        for p in range(n_panels):
+            d_pr, d_pc, d_pv, d_xt, d_xc, d_xd = panels_dev[p]
+            tiles = dict(group_tiles)
+            for name, arr in sel_tiles[p].items():
+                tiles[name] = arr[t0:t1]
+
+            carries[p] = _run_panel_group(
+                d_pr, d_pc, d_pv, d_xt, d_xc, d_xd,
+                d_stack,
+                tiles,
+                pvec,
+                carries[p][0],
+                carries[p][1],
+                flags=params.static_flags(),
+                k=k,
+                k_pad=k_pad,
+                trp=trp,
+                u_pad=u_pad,
+                tc=tc,
+                has_allowed=has_allowed,
+                has_filter=has_filter,
+                has_target=has_target,
+                compute_dtype=compute_dtype,
+                precision=precision,
+                use_pallas=use_pallas,
+            )
+            if progress is not None and g == n_groups - 1:
+                progress.update(min((p + 1) * trp, T) - p * trp)
+        del d_stack
+
+    for p in range(n_panels):
+        r0, r1 = p * trp, min((p + 1) * trp, T)
+        out_vals[r0:r1] = np.asarray(carries[p][0])[: r1 - r0]
+        out_idx[r0:r1] = np.asarray(carries[p][1])[: r1 - r0]
 
     # device column ids are balanced-layout slots; map back to originals.
     # -inf slots carry arbitrary ids (incl. unused-slot sentinels) and are

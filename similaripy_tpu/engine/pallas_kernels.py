@@ -1,0 +1,244 @@
+"""Fused Pallas TPU kernel for the S-Plus similarity hot path.
+
+One kernel computes, for a (panel x column-tile) pair:
+
+    xy   = A_panel @ D_tile          (MXU, K-blocked accumulation in VMEM)
+    val  = S-Plus epilogue(xy)       (VPU, fused — xy never leaves VMEM)
+    topk = exact per-row top-k_pad   (VPU, iterative max/argmax extraction)
+
+replacing the XLA chain [matmul -> epilogue -> lax.top_k] whose similarity
+scores round-trip through HBM and whose sort-based top_k costs as much as
+the matmul itself. This is the TPU re-design of the reference's fused
+accumulate + computeSimilarity + TopK-heap drain loop
+(reference: similaripy/cython_code/s_plus.h:193-215,265-453).
+
+Layout:
+  grid = (trp/TM, U/KB); K innermost, so for each row-block the xy
+  accumulator lives in VMEM across the K sweep and the epilogue+top-k run
+  exactly once, at the last K step. Blocks whose index map is constant in
+  K (x/y vectors, masks, outputs) are fetched once per row-block.
+
+The top-k outputs are (k_pad x TM) — k on the sublane axis, because the
+extraction loop stores one row per iteration and sublane-dynamic stores
+are the efficient direction on TPU. Callers transpose (cheap, k_pad rows).
+
+int8 mode accumulates exactly in int32 (the engine's quantized-exact
+path); each partial product fits int32 by the executor's overflow guard.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float("-inf")
+
+TM = 256  # rows per block (panel subdivision)
+KB = 512  # inner (user) dim per block
+DEFAULT_TC = 4096  # column-tile width the kernel is tuned for
+
+
+def _kernel(
+    pvec_ref,  # SMEM (1, 16): a1 l1 l2 l3 t1 t2 stab bayes thr inv_scale col_base
+    a_ref,  # (TM, KB) cdt
+    d_ref,  # (KB, TC) cdt
+    xt_ref,  # (TM, 1) f32
+    xc_ref,
+    xd_ref,
+    yt_ref,  # (1, TC) f32
+    yc_ref,
+    yd_ref,
+    *rest,  # optional [allowed(1,TC) u8] [fmask(TM,TC) u8] [tmask(TM,TC) u8],
+    # then outputs vals(k_pad,TM) f32, idx(k_pad,TM) i32, scratch xy(TM,TC)
+    flags: tuple,
+    has_allowed: bool,
+    has_filter: bool,
+    has_target: bool,
+    int8_mode: bool,
+    prec,
+    k_pad: int,
+    tm: int,
+    tc: int,
+):
+    it = iter(rest)
+    allowed_ref = next(it) if has_allowed else None
+    fmask_ref = next(it) if has_filter else None
+    tmask_ref = next(it) if has_target else None
+    vals_ref = next(it)
+    idx_ref = next(it)
+    xy_ref = next(it)
+
+    kk = pl.program_id(1)
+    n_k = pl.num_programs(1)
+
+    @pl.when(kk == 0)
+    def _():
+        xy_ref[:] = jnp.zeros_like(xy_ref)
+
+    if int8_mode:
+        xy_ref[:] += jnp.dot(a_ref[:], d_ref[:], preferred_element_type=jnp.int32)
+    else:
+        xy_ref[:] += jnp.dot(
+            a_ref[:], d_ref[:], preferred_element_type=jnp.float32, precision=prec
+        )
+
+    @pl.when(kk == n_k - 1)
+    def _():
+        use_l1, use_l2, use_l3, use_pow, use_bayes, use_denominator = flags
+        a1 = pvec_ref[0, 0]
+        l1 = pvec_ref[0, 1]
+        l2 = pvec_ref[0, 2]
+        l3 = pvec_ref[0, 3]
+        t1 = pvec_ref[0, 4]
+        t2 = pvec_ref[0, 5]
+        stab = pvec_ref[0, 6]
+        bayes = pvec_ref[0, 7]
+        threshold = pvec_ref[0, 8]
+        inv_scale = pvec_ref[0, 9]
+        col_base = pvec_ref[0, 10].astype(jnp.int32)
+
+        xy = xy_ref[:].astype(jnp.float32)
+        if int8_mode:
+            xy = xy * inv_scale
+
+        candidate = xy != 0.0
+        if has_allowed:
+            candidate = jnp.logical_and(candidate, allowed_ref[:] != 0)
+        if has_filter:
+            candidate = jnp.logical_and(candidate, fmask_ref[:] == 0)
+        if has_target:
+            candidate = jnp.logical_and(candidate, tmask_ref[:] != 0)
+
+        # ---- S-Plus epilogue (reference: s_plus.h:129-156) ----
+        xy_p = jnp.power(xy, a1) if use_pow else xy
+        if use_denominator:
+            denom = jnp.full_like(xy, stab)
+            if use_l1:
+                denom = denom + l1 * (
+                    t1 * (xt_ref[:] - xy) + t2 * (yt_ref[:] - xy) + xy
+                )
+            if use_l2:
+                denom = denom + l2 * (xc_ref[:] * yc_ref[:])
+            if use_l3:
+                denom = denom + l3 * (xd_ref[:] * yd_ref[:])
+            val = jnp.where(denom != 0.0, xy_p / denom, 0.0)
+            if use_bayes:
+                val = val * (xy_p / (xy_p + bayes))
+        else:
+            val = xy  # raw un-powered product (s_plus.h:131,144)
+
+        keep = jnp.logical_and(candidate, val >= threshold)
+        val = jnp.where(keep, val, NEG_INF)
+
+        # ---- exact top-k_pad by iterative extraction (replaces the heap,
+        # s_plus.h:39-64): k_pad sequential max/argmax passes over the
+        # VMEM-resident tile. ----
+        cols = jax.lax.broadcasted_iota(jnp.int32, (tm, tc), 1)
+
+        def body(i, v):
+            m = jnp.max(v, axis=1)
+            am = jnp.argmax(v, axis=1).astype(jnp.int32)
+            vals_ref[pl.ds(i, 1), :] = m[None, :]
+            idx_ref[pl.ds(i, 1), :] = (am + col_base)[None, :]
+            return jnp.where(cols == am[:, None], NEG_INF, v)
+
+        jax.lax.fori_loop(0, k_pad, body, val)
+
+
+def fused_tile_topk(
+    m1_dense,  # (trp, u_pad) cdt
+    d,  # (u_pad, tc) cdt
+    x_t,  # (trp,) f32
+    x_c,
+    x_d,
+    y_t,  # (tc,) f32
+    y_c,
+    y_d,
+    pvec_ext,  # (16,) f32 — build_pvec + col_base at [10]
+    allowed=None,  # (tc,) uint8
+    fmask=None,  # (trp, tc) uint8, 1 = filtered out
+    tmask=None,  # (trp, tc) uint8, 1 = allowed target
+    *,
+    flags: tuple,
+    k_pad: int,
+    int8_mode: bool,
+    precision,
+    interpret: bool = False,
+):
+    """Returns (vals, idx) of shape (k_pad, trp): per-row top-k_pad of the
+    fused similarity tile, sorted descending, ids global via col_base."""
+    trp, u_pad = m1_dense.shape
+    tc = d.shape[1]
+    assert trp % TM == 0 and u_pad % KB == 0, (trp, u_pad)
+
+    grid = (trp // TM, u_pad // KB)
+    acc_dtype = jnp.int32 if int8_mode else jnp.float32
+
+    in_specs = [
+        pl.BlockSpec((TM, KB), lambda m, kk: (m, kk)),
+        pl.BlockSpec((KB, tc), lambda m, kk: (kk, 0)),
+    ]
+    vec_spec_row = pl.BlockSpec((TM, 1), lambda m, kk: (m, 0))
+    vec_spec_col = pl.BlockSpec((1, tc), lambda m, kk: (0, 0))
+    in_specs += [vec_spec_row] * 3 + [vec_spec_col] * 3
+
+    args = [
+        m1_dense,
+        d,
+        x_t.reshape(trp, 1),
+        x_c.reshape(trp, 1),
+        x_d.reshape(trp, 1),
+        y_t.reshape(1, tc),
+        y_c.reshape(1, tc),
+        y_d.reshape(1, tc),
+    ]
+    if allowed is not None:
+        in_specs.append(pl.BlockSpec((1, tc), lambda m, kk: (0, 0)))
+        args.append(allowed.reshape(1, tc))
+    if fmask is not None:
+        in_specs.append(pl.BlockSpec((TM, tc), lambda m, kk: (m, 0)))
+        args.append(fmask)
+    if tmask is not None:
+        in_specs.append(pl.BlockSpec((TM, tc), lambda m, kk: (m, 0)))
+        args.append(tmask)
+
+    kernel = partial(
+        _kernel,
+        flags=flags,
+        has_allowed=allowed is not None,
+        has_filter=fmask is not None,
+        has_target=tmask is not None,
+        int8_mode=int8_mode,
+        prec=precision,
+        k_pad=k_pad,
+        tm=TM,
+        tc=tc,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, 16), lambda m, kk: (0, 0), memory_space=pltpu.SMEM)]
+        + in_specs,
+        out_specs=[
+            pl.BlockSpec((k_pad, TM), lambda m, kk: (0, m)),
+            pl.BlockSpec((k_pad, TM), lambda m, kk: (0, m)),
+        ],
+        scratch_shapes=[pltpu.VMEM((TM, tc), acc_dtype)],
+    )
+
+    vals, idx = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((k_pad, trp), jnp.float32),
+            jax.ShapeDtypeStruct((k_pad, trp), jnp.int32),
+        ],
+        interpret=interpret,
+    )(pvec_ext.reshape(1, 16), *args)
+    return vals, idx
