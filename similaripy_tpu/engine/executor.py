@@ -572,12 +572,16 @@ def _stack_m2_tiles_balanced(m2_csc, tile_lists, tc: int, u_pad: int):
     return rows, cols, vals
 
 
-def _stack_selector_tiles_balanced(sel_csc, tile_lists, tc: int, trp: int):
+def _stack_selector_tiles_balanced(
+    sel_csc, tile_lists, tc: int, trp: int, pf: Optional[int] = None
+):
     """Per-tile padded COO (bool mask positions) of a selector's panel rows
-    under the balanced column layout."""
+    under the balanced column layout. `pf` pins the pad bucket so multiple
+    panels share one compiled shape."""
     n_tiles = len(tile_lists)
     parts = [_extract_cols_coo(sel_csc, cols) for cols in tile_lists]
-    pf = _pad_bucket(max((p[0].shape[0] for p in parts), default=1), minimum=256)
+    if pf is None:
+        pf = _pad_bucket(max((p[0].shape[0] for p in parts), default=1), minimum=256)
     rows = np.full((n_tiles, pf), trp, dtype=np.int32)
     cols = np.zeros((n_tiles, pf), dtype=np.int32)
     for t, (r, local, _pos) in enumerate(parts):
@@ -718,6 +722,9 @@ def execute(
     # ---- fused-kernel alignment + group sizing ----
     use_pallas = _pallas_enabled()
     k_pad = k
+    # smaller panels leave more HBM for resident tile groups (each extra
+    # group costs a full matrix1 re-scatter), so cap the panel height
+    trp = min(trp, 2048)
     if use_pallas:
         from .pallas_kernels import DEFAULT_TC, KB, TM
 
@@ -822,14 +829,19 @@ def execute(
     panels_dev = _cache_get(m1_key)
     if panels_dev is None:
         panels_dev = []
+        # one shared nnz bucket: every panel compiles to the same program
+        # (each distinct shape costs minutes through the remote compiler)
+        p1 = _pad_bucket(
+            max(
+                int(m1_t.indptr[min((p + 1) * trp, T)] - m1_t.indptr[p * trp])
+                for p in range(n_panels)
+            )
+        )
         for p in range(n_panels):
             r0, r1 = p * trp, min((p + 1) * trp, T)
             rows_here = r1 - r0
             panel = m1_t[r0:r1]
-
-            # panel COO, padded (sentinel row = trp -> dropped by scatter)
             nnz = panel.data.shape[0]
-            p1 = _pad_bucket(nnz)
             pr = np.full(p1, trp, dtype=np.int32)
             pc = np.zeros(p1, dtype=np.int32)
             pv = np.zeros(p1, dtype=np.float32)
@@ -848,19 +860,43 @@ def execute(
             )
         _cache_put(m1_key, panels_dev)
 
-    # per-panel selector tiles (host-prepped once, sliced per group)
+    # per-panel selector tiles (host-prepped once, sliced per group); one
+    # shared pad bucket across panels keeps the compiled shapes identical
     sel_tiles = []
+    pf_f = pf_t = None
+    if has_filter:
+        pf_f = _pad_bucket(
+            max(
+                (
+                    int(fil_t.indptr[min((p + 1) * trp, T)] - fil_t.indptr[p * trp])
+                    for p in range(n_panels)
+                ),
+                default=1,
+            ),
+            minimum=256,
+        )
+    if has_target:
+        pf_t = _pad_bucket(
+            max(
+                (
+                    int(tgt_t.indptr[min((p + 1) * trp, T)] - tgt_t.indptr[p * trp])
+                    for p in range(n_panels)
+                ),
+                default=1,
+            ),
+            minimum=256,
+        )
     for p in range(n_panels):
         r0, r1 = p * trp, min((p + 1) * trp, T)
         entry = {}
         if has_filter:
             fr, fc = _stack_selector_tiles_balanced(
-                fil_t[r0:r1].tocsc(), tile_lists, tc, trp
+                fil_t[r0:r1].tocsc(), tile_lists, tc, trp, pf=pf_f
             )
             entry["fil_rows"], entry["fil_cols"] = jnp.asarray(fr), jnp.asarray(fc)
         if has_target:
             tr, tcl = _stack_selector_tiles_balanced(
-                tgt_t[r0:r1].tocsc(), tile_lists, tc, trp
+                tgt_t[r0:r1].tocsc(), tile_lists, tc, trp, pf=pf_t
             )
             entry["tgt_rows"], entry["tgt_cols"] = jnp.asarray(tr), jnp.asarray(tcl)
         sel_tiles.append(entry)

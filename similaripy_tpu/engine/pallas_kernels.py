@@ -239,6 +239,12 @@ def fused_tile_topk(
             jax.ShapeDtypeStruct((k_pad, trp), jnp.float32),
             jax.ShapeDtypeStruct((k_pad, trp), jnp.int32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            # the default 16 MB scoped-vmem limit rejects the tc=4096
+            # working set (xy accumulator + double-buffered D blocks);
+            # v5e has 128 MB of physical VMEM
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(pvec_ext.reshape(1, 16), *args)
     return vals, idx
