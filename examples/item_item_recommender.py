@@ -23,25 +23,30 @@ from similaripy_tpu.utils.synth import synthetic_urm
 
 
 def holdout_split(urm: sp.csr_array, n_holdout: int = 2, seed: int = 7):
-    """Leave-n-out per user (the notebook uses a temporal split; synthetic
-    data has no timestamps, so hold out n random items per user)."""
+    """Leave-n-out per user, vectorized (the notebook uses a temporal
+    split; synthetic data has no timestamps, so hold out n random items
+    per user with more than n+1 interactions)."""
     rng = np.random.default_rng(seed)
     urm = urm.tocsr()
-    train = urm.tolil(copy=True)
-    test_rows, test_cols = [], []
-    for u in range(urm.shape[0]):
-        items = urm.indices[urm.indptr[u] : urm.indptr[u + 1]]
-        if items.shape[0] <= n_holdout + 1:
-            continue
-        held = rng.choice(items, size=n_holdout, replace=False)
-        for i in held:
-            train[u, i] = 0
-            test_rows.append(u)
-            test_cols.append(i)
-    train = sp.csr_array(train.tocsr())
+    counts = np.diff(urm.indptr)
+    nnz = urm.nnz
+    row_ids = np.repeat(np.arange(urm.shape[0]), counts)
+
+    # rank every nnz within its row by a random key; the n smallest ranks
+    # of each eligible row are held out
+    keys = rng.random(nnz)
+    perm = np.lexsort((keys, row_ids))
+    ranks = np.empty(nnz, np.int64)
+    ranks[perm] = np.arange(nnz) - np.repeat(urm.indptr[:-1], counts)
+    eligible = (counts > n_holdout + 1)[row_ids]
+    drop = (ranks < n_holdout) & eligible
+
+    train = sp.csr_array(
+        (np.where(drop, 0.0, urm.data), urm.indices, urm.indptr), shape=urm.shape
+    )
     train.eliminate_zeros()
     test = sp.csr_array(
-        (np.ones(len(test_rows), np.float32), (test_rows, test_cols)),
+        (np.ones(int(drop.sum()), np.float32), (row_ids[drop], urm.indices[drop])),
         shape=urm.shape,
     )
     return train, test
@@ -68,15 +73,16 @@ def ndcg_and_recall_at(recs: sp.csr_array, test: sp.csr_array, n: int = 10):
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--scale", type=float, default=0.02,
-                   help="fraction of ML-32M nnz for the synthetic dataset")
+    p.add_argument("--users", type=int, default=20_000)
+    p.add_argument("--items", type=int, default=4_000)
+    p.add_argument("--nnz", type=int, default=400_000)
     p.add_argument("--k", type=int, default=100, help="similarity neighbors")
     p.add_argument("--model", default="rp3beta",
                    choices=["cosine", "asymmetric_cosine", "rp3beta", "s_plus"])
     args = p.parse_args(argv)
 
-    print(f"building synthetic URM (scale={args.scale})...")
-    urm = synthetic_urm(nnz=int(32_000_204 * args.scale))
+    print(f"building synthetic URM ({args.users}x{args.items}, nnz={args.nnz})...")
+    urm = synthetic_urm(n_users=args.users, n_items=args.items, nnz=args.nnz)
     # drop empty users/items for a denser eval
     keep_u = np.diff(urm.indptr) >= 5
     urm = sp.csr_array(urm[keep_u])
