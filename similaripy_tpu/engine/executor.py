@@ -744,7 +744,13 @@ def execute(
     dense_item = {"bfloat16": 2, "int8": 1}.get(compute_dtype, 4)
     tile_bytes = u_pad * tc * dense_item
     m1_bytes = trp * u_pad * (dense_item + (2 if compute_dtype == "int8" else 0))
-    reserve = m1_bytes + trp * tc * 16 + (1 << 30)
+    # reserve: panel working set + cached COO uploads (~12B/nnz + padding)
+    reserve = (
+        m1_bytes
+        + trp * tc * 16
+        + int((m1.nnz + m2.nnz) * 12 * 1.8)
+        + (1 << 30)
+    )
     g_tiles = max(1, int((budget * 0.85 - reserve) // tile_bytes))
     g_tiles = min(g_tiles, n_tiles)
     # pad the tile count so every group has exactly g_tiles tiles (stable
@@ -954,6 +960,12 @@ def execute(
             )
             if progress is not None and g == n_groups - 1:
                 progress.update(min((p + 1) * trp, T) - p * trp)
+        # barrier before the next group: dispatch is async, and without it
+        # the next group's dense tile stack is allocated while this one is
+        # still referenced by in-flight work (2x-3x HBM -> OOM)
+        if n_groups > 1:
+            for cv, _ci in carries:
+                cv.block_until_ready()
         del d_stack
 
     for p in range(n_panels):
