@@ -915,6 +915,27 @@ def execute(
         for _ in range(n_panels)
     ]
 
+    timing = os.environ.get("SIMILARIPY_TPU_TIMING") == "1"
+    if timing:
+        import sys
+        import time as _time
+
+        print(
+            f"# plan: trp={trp} tc={tc} u_pad={u_pad} n_panels={n_panels} "
+            f"g_tiles={g_tiles} n_groups={n_groups} dtype={compute_dtype} "
+            f"pallas={use_pallas} k_pad={k_pad}",
+            file=sys.stderr, flush=True,
+        )
+        _t_mark = _time.perf_counter()
+
+        def _lap(label, sync=None):
+            nonlocal _t_mark
+            if sync is not None:
+                jax.block_until_ready(sync)
+            now = _time.perf_counter()
+            print(f"# {label}: {now - _t_mark:.2f}s", file=sys.stderr, flush=True)
+            _t_mark = now
+
     for g in range(n_groups):
         t0, t1 = g * g_tiles, (g + 1) * g_tiles
         d_stack = _densify_group(
@@ -925,6 +946,8 @@ def execute(
             tc=tc,
             compute_dtype=compute_dtype,
         )
+        if timing:
+            _lap(f"group {g} densify", d_stack)
         group_tiles = {
             name: tiles_common[name][t0:t1]
             for name in ("y_t", "y_c", "y_d", "col_offset")
@@ -963,9 +986,11 @@ def execute(
         # barrier before the next group: dispatch is async, and without it
         # the next group's dense tile stack is allocated while this one is
         # still referenced by in-flight work (2x-3x HBM -> OOM)
-        if n_groups > 1:
+        if n_groups > 1 or timing:
             for cv, _ci in carries:
                 cv.block_until_ready()
+        if timing:
+            _lap(f"group {g} panels x{n_panels}")
         del d_stack
 
     for p in range(n_panels):
