@@ -931,7 +931,10 @@ def execute(
         def _lap(label, sync=None):
             nonlocal _t_mark
             if sync is not None:
-                jax.block_until_ready(sync)
+                # forced tiny readback: block_until_ready is unreliable
+                # through tunneled backends
+                arr = jax.tree.leaves(sync)[0]
+                np.asarray(arr.ravel()[:1])
             now = _time.perf_counter()
             print(f"# {label}: {now - _t_mark:.2f}s", file=sys.stderr, flush=True)
             _t_mark = now
@@ -984,11 +987,12 @@ def execute(
             if progress is not None and g == n_groups - 1:
                 progress.update(min((p + 1) * trp, T) - p * trp)
         # barrier before the next group: dispatch is async, and without it
-        # the next group's dense tile stack is allocated while this one is
-        # still referenced by in-flight work (2x-3x HBM -> OOM)
+        # the next group's dense tile stack stays live while later work
+        # queues behind it (2x-3x HBM -> OOM). block_until_ready is not
+        # reliable through tunneled backends, so force a tiny readback.
         if n_groups > 1 or timing:
             for cv, _ci in carries:
-                cv.block_until_ready()
+                np.asarray(cv[:1, :1])
         if timing:
             _lap(f"group {g} panels x{n_panels}")
         del d_stack
