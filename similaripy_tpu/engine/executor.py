@@ -758,26 +758,23 @@ def execute(
     n_groups = math.ceil(n_tiles / g_tiles)
     n_tiles = n_groups * g_tiles
 
-    # matrix1 restricted to target rows (host CSR row gather)
-    m1_t = m1[targets]
-
-    # matrix2 tiles: balanced round-robin column layout (see balance_columns)
-    m2_csc = m2.tocsc()
-    if compute_dtype == "int8":
-        # exact integerization; f32->int8 casts on device are then lossless
-        m1_t.data = np.rint(m1_t.data * pre.qscale1).astype(np.float32)
-        m2_csc.data = np.rint(m2_csc.data * pre.qscale2).astype(np.float32)
-
+    # matrix2 tiles: balanced round-robin column layout (see balance_columns).
+    # The fingerprint covers the raw CSR + dtype so cache hits skip the
+    # tocsc conversion entirely.
     m2_key = (
         "m2",
         _fingerprint(
-            m2_csc.indptr, m2_csc.indices, m2_csc.data,
+            m2.indptr, m2.indices, m2.data,
             pre.Yt, pre.Yc, pre.Yd, pre.col_allowed,
         ),
-        tc, n_tiles, u_pad,
+        compute_dtype, tc, n_tiles, u_pad,
     )
     cached = _cache_get(m2_key)
     if cached is None:
+        m2_csc = m2.tocsc()
+        if compute_dtype == "int8":
+            # exact integerization; f32->int8 casts on device are lossless
+            m2_csc.data = np.rint(m2_csc.data * pre.qscale2).astype(np.float32)
         col_nnz = np.diff(m2_csc.indptr)
         tile_lists, col_map = balance_columns(col_nnz, n_tiles, tc)
         t_rows, t_cols, t_vals = _stack_m2_tiles_balanced(
@@ -827,82 +824,77 @@ def execute(
     m1_key = (
         "m1",
         _fingerprint(
-            m1_t.indptr, m1_t.indices, m1_t.data, targets,
+            m1.indptr, m1.indices, m1.data, targets,
             xt_full, xc_full, xd_full,
         ),
-        trp,
+        compute_dtype, trp,
     )
-    panels_dev = _cache_get(m1_key)
-    if panels_dev is None:
-        panels_dev = []
+    cached = _cache_get(m1_key)
+    if cached is None:
+        m1_t = m1[targets]
+        if compute_dtype == "int8":
+            m1_t.data = np.rint(m1_t.data * pre.qscale1).astype(np.float32)
+        # balance panel nnz: deal target rows round-robin by nnz rank so
+        # every panel's padded COO bucket sits near the mean instead of
+        # the max (the scatter pays for padding too)
+        row_nnz = np.diff(m1_t.indptr)
+        order = np.argsort(-row_nnz, kind="stable")
+        panel_sel = [order[p::n_panels] for p in range(n_panels)]
+
         # one shared nnz bucket: every panel compiles to the same program
         # (each distinct shape costs minutes through the remote compiler)
         p1 = _pad_bucket(
-            max(
-                int(m1_t.indptr[min((p + 1) * trp, T)] - m1_t.indptr[p * trp])
-                for p in range(n_panels)
-            )
+            max(int(row_nnz[sel].sum()) for sel in panel_sel)
         )
+        panels_dev = []
         for p in range(n_panels):
-            r0, r1 = p * trp, min((p + 1) * trp, T)
-            rows_here = r1 - r0
-            panel = m1_t[r0:r1]
+            sel = panel_sel[p]
+            panel = m1_t[sel]
             nnz = panel.data.shape[0]
             pr = np.full(p1, trp, dtype=np.int32)
             pc = np.zeros(p1, dtype=np.int32)
             pv = np.zeros(p1, dtype=np.float32)
             pr[:nnz] = np.repeat(
-                np.arange(rows_here, dtype=np.int32), np.diff(panel.indptr)
+                np.arange(sel.shape[0], dtype=np.int32), np.diff(panel.indptr)
             )
             pc[:nnz] = panel.indices
             pv[:nnz] = panel.data
 
-            tgt_ids = targets[r0:r1]
+            tgt_ids = targets[sel]
             x_t = _pad_vec(xt_full[tgt_ids] if xt_full is not None else None, trp)
             x_c = _pad_vec(xc_full[tgt_ids] if xc_full is not None else None, trp)
             x_d = _pad_vec(xd_full[tgt_ids] if xd_full is not None else None, trp)
             panels_dev.append(
                 tuple(jnp.asarray(a) for a in (pr, pc, pv, x_t, x_c, x_d))
             )
-        _cache_put(m1_key, panels_dev)
+        _cache_put(m1_key, (panels_dev, panel_sel))
+    else:
+        panels_dev, panel_sel = cached
 
     # per-panel selector tiles (host-prepped once, sliced per group); one
     # shared pad bucket across panels keeps the compiled shapes identical
     sel_tiles = []
     pf_f = pf_t = None
     if has_filter:
+        cnt = np.diff(fil_t.indptr)
         pf_f = _pad_bucket(
-            max(
-                (
-                    int(fil_t.indptr[min((p + 1) * trp, T)] - fil_t.indptr[p * trp])
-                    for p in range(n_panels)
-                ),
-                default=1,
-            ),
-            minimum=256,
+            max((int(cnt[sel].sum()) for sel in panel_sel), default=1), minimum=256
         )
     if has_target:
+        cnt = np.diff(tgt_t.indptr)
         pf_t = _pad_bucket(
-            max(
-                (
-                    int(tgt_t.indptr[min((p + 1) * trp, T)] - tgt_t.indptr[p * trp])
-                    for p in range(n_panels)
-                ),
-                default=1,
-            ),
-            minimum=256,
+            max((int(cnt[sel].sum()) for sel in panel_sel), default=1), minimum=256
         )
     for p in range(n_panels):
-        r0, r1 = p * trp, min((p + 1) * trp, T)
         entry = {}
         if has_filter:
             fr, fc = _stack_selector_tiles_balanced(
-                fil_t[r0:r1].tocsc(), tile_lists, tc, trp, pf=pf_f
+                fil_t[panel_sel[p]].tocsc(), tile_lists, tc, trp, pf=pf_f
             )
             entry["fil_rows"], entry["fil_cols"] = jnp.asarray(fr), jnp.asarray(fc)
         if has_target:
             tr, tcl = _stack_selector_tiles_balanced(
-                tgt_t[r0:r1].tocsc(), tile_lists, tc, trp, pf=pf_t
+                tgt_t[panel_sel[p]].tocsc(), tile_lists, tc, trp, pf=pf_t
             )
             entry["tgt_rows"], entry["tgt_cols"] = jnp.asarray(tr), jnp.asarray(tcl)
         sel_tiles.append(entry)
@@ -985,7 +977,7 @@ def execute(
                 use_pallas=use_pallas,
             )
             if progress is not None and g == n_groups - 1:
-                progress.update(min((p + 1) * trp, T) - p * trp)
+                progress.update(panel_sel[p].shape[0])
         # barrier before the next group: dispatch is async, and without it
         # the next group's dense tile stack stays live while later work
         # queues behind it (2x-3x HBM -> OOM). block_until_ready is not
@@ -998,9 +990,9 @@ def execute(
         del d_stack
 
     for p in range(n_panels):
-        r0, r1 = p * trp, min((p + 1) * trp, T)
-        out_vals[r0:r1] = np.asarray(carries[p][0])[: r1 - r0]
-        out_idx[r0:r1] = np.asarray(carries[p][1])[: r1 - r0]
+        sel = panel_sel[p]
+        out_vals[sel] = np.asarray(carries[p][0])[: sel.shape[0]]
+        out_idx[sel] = np.asarray(carries[p][1])[: sel.shape[0]]
 
     # device column ids are balanced-layout slots; map back to originals.
     # -inf slots carry arbitrary ids (incl. unused-slot sentinels) and are
