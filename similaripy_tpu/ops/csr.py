@@ -46,9 +46,13 @@ def row_ids_from_indptr(indptr: np.ndarray, nnz: int | None = None) -> np.ndarra
 def csr_row_sums(m: sp.csr_array) -> np.ndarray:
     """Row sums, float32; empty rows are 0 (reference: s_plus_utils.pyx:151-159)."""
     indptr = m.indptr
-    if m.data.shape[0] == 0:
+    nnz = m.data.shape[0]
+    if nnz == 0:
         return np.zeros(m.shape[0], dtype=np.float32)
-    out = np.add.reduceat(m.data.astype(np.float32, copy=False), indptr[:-1].astype(np.int64))
+    # clip: reduceat rejects start == nnz (rows at/after the last stored
+    # element); those rows are empty and zeroed by the mask below
+    starts = np.minimum(indptr[:-1].astype(np.int64), nnz - 1)
+    out = np.add.reduceat(m.data.astype(np.float32, copy=False), starts)
     out = out.astype(np.float32, copy=False)
     empty = np.diff(indptr) == 0
     if empty.any():

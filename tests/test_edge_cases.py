@@ -1,0 +1,73 @@
+"""Edge cases: degenerate inputs the reference handles gracefully."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import similaripy_tpu as sim
+from oracles import check_sum, generate_random_matrix, top_k
+
+VERBOSE = False
+
+
+def test_empty_matrix():
+    m = sp.csr_array((40, 30), dtype=np.float32)
+    out = sim.cosine(m, k=10, verbose=VERBOSE)
+    assert out.shape == (40, 40)
+    assert out.nnz == 0
+
+
+def test_single_nonzero():
+    m = sp.csr_array((np.array([2.0], np.float32), (np.array([3]), np.array([4]))),
+                     shape=(10, 8))
+    out = sim.cosine(m, k=5, verbose=VERBOSE).tocsr()
+    assert out.nnz == 1
+    np.testing.assert_allclose(out[[3], [3]], [1.0], rtol=1e-5)
+
+
+def test_negative_data_negative_threshold():
+    rng = np.random.default_rng(0)
+    m = generate_random_matrix(100, 60, density=0.1).tocsr()
+    m.data = (rng.random(m.data.shape[0]) - 0.5).astype(np.float32)  # +/- values
+    got = sim.dot_product(m, k=60, threshold=float("-inf"), verbose=VERBOSE)
+    ref = top_k((m @ m.T).tocsr(), 60)
+    np.testing.assert_allclose(check_sum(got), check_sum(ref), rtol=1e-4)
+    # default threshold=0 drops negative scores
+    got0 = sim.dot_product(m, k=60, verbose=VERBOSE)
+    assert (got0.tocsr().data >= 0).all()
+
+
+def test_unsorted_duplicate_target_rows():
+    m = generate_random_matrix(50, 40, density=0.1).tocsr()
+    tr = [7, 3, 7, 12]  # unsorted, duplicated
+    out = sim.cosine(m, k=5, target_rows=tr, verbose=VERBOSE, format_output="coo")
+    rows = np.unique(out.coords[0])
+    assert set(rows) <= {3, 7, 12}
+    # row 7 contributes twice in COO (reference keeps duplicates too)
+    assert (out.coords[0] == 7).sum() == 2 * (out.coords[0] == 12).sum()
+
+
+def test_target_rows_empty():
+    m = generate_random_matrix(30, 20, density=0.1).tocsr()
+    out = sim.cosine(m, k=5, target_rows=[], verbose=VERBOSE)
+    assert out.nnz == 0
+
+
+def test_int64_input_dtype():
+    rng = np.random.default_rng(1)
+    m = sp.random_array((60, 40), density=0.1, format="csr",
+                        dtype=np.float64, random_state=rng)
+    out = sim.cosine(m, k=10, verbose=VERBOSE)
+    assert out.nnz > 0
+
+
+def test_wide_and_tall_extremes():
+    rng = np.random.default_rng(2)
+    wide = sp.random_array((4, 5000), density=0.01, format="csr",
+                           dtype=np.float32, random_state=rng)
+    out = sim.dot_product(wide, k=4, verbose=VERBOSE)
+    assert out.shape == (4, 4)
+    tall = sp.random_array((5000, 4), density=0.05, format="csr",
+                           dtype=np.float32, random_state=rng)
+    out = sim.dot_product(tall, k=10, verbose=VERBOSE)
+    assert out.shape == (5000, 5000)
