@@ -702,6 +702,9 @@ def execute(
     progress=None,
 ):
     """Run the tiled similarity; returns host (T, k) vals f32 and idx int32."""
+    import time as _time_mod
+
+    _t_enter = _time_mod.perf_counter()
     m1, m2, targets, k = pre.m1, pre.m2, pre.targets, pre.k
     T = targets.shape[0]
     U = m1.shape[1]
@@ -915,7 +918,8 @@ def execute(
         print(
             f"# plan: trp={trp} tc={tc} u_pad={u_pad} n_panels={n_panels} "
             f"g_tiles={g_tiles} n_groups={n_groups} dtype={compute_dtype} "
-            f"pallas={use_pallas} k_pad={k_pad}",
+            f"pallas={use_pallas} k_pad={k_pad} "
+            f"prep: {_time.perf_counter() - _t_enter:.2f}s",
             file=sys.stderr, flush=True,
         )
         _t_mark = _time.perf_counter()
@@ -993,6 +997,8 @@ def execute(
         sel = panel_sel[p]
         out_vals[sel] = np.asarray(carries[p][0])[: sel.shape[0]]
         out_idx[sel] = np.asarray(carries[p][1])[: sel.shape[0]]
+    if timing:
+        _lap("output readback")
 
     # device column ids are balanced-layout slots; map back to originals.
     # -inf slots carry arbitrary ids (incl. unused-slot sentinels) and are

@@ -149,13 +149,26 @@ def s_plus(
         )
 
     progress.set_description(f"Building {format_output} matrix")
-    res = assemble(
-        vals,
-        idx,
-        pre.targets,
-        pre.n_output_rows,
-        pre.n_output_cols,
-        format_output,
-    )
+    import os as _os
+
+    if _os.environ.get("SIMILARIPY_TPU_TIMING") == "1":
+        import sys
+        import time as _t
+
+        t0 = _t.perf_counter()
+        res = assemble(
+            vals, idx, pre.targets, pre.n_output_rows, pre.n_output_cols,
+            format_output,
+        )
+        print(f"# assembly: {_t.perf_counter() - t0:.2f}s", file=sys.stderr, flush=True)
+    else:
+        res = assemble(
+            vals,
+            idx,
+            pre.targets,
+            pre.n_output_rows,
+            pre.n_output_cols,
+            format_output,
+        )
     progress.close("Done")
     return res
