@@ -985,18 +985,23 @@ def execute(
         # barrier before the next group: dispatch is async, and without it
         # the next group's dense tile stack stays live while later work
         # queues behind it (2x-3x HBM -> OOM). block_until_ready is not
-        # reliable through tunneled backends, so force a tiny readback.
+        # reliable through tunneled backends, so force a tiny readback —
+        # of the LAST panel only: the device stream is in dispatch order,
+        # so its completion implies the whole group's.
         if n_groups > 1 or timing:
-            for cv, _ci in carries:
-                np.asarray(cv[:1, :1])
+            np.asarray(carries[-1][0][:1, :1])
         if timing:
             _lap(f"group {g} panels x{n_panels}")
         del d_stack
 
+    # single batched readback: per-array transfers pay a full tunnel
+    # round-trip each (~50 ms x 2 x n_panels)
+    all_vals = np.asarray(jnp.stack([cv for cv, _ in carries]))
+    all_idx = np.asarray(jnp.stack([ci for _, ci in carries]))
     for p in range(n_panels):
         sel = panel_sel[p]
-        out_vals[sel] = np.asarray(carries[p][0])[: sel.shape[0]]
-        out_idx[sel] = np.asarray(carries[p][1])[: sel.shape[0]]
+        out_vals[sel] = all_vals[p, : sel.shape[0]]
+        out_idx[sel] = all_idx[p, : sel.shape[0]]
     if timing:
         _lap("output readback")
 

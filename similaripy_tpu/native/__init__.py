@@ -92,8 +92,8 @@ def topk_to_coo(vals, idx, targets):
     vals = np.ascontiguousarray(vals, dtype=np.float32)
     idx = np.ascontiguousarray(idx, dtype=np.int32)
     targets = np.ascontiguousarray(targets, dtype=np.int32)
-    out_rows = np.empty(T * k, dtype=np.int64)
-    out_cols = np.empty(T * k, dtype=np.int64)
+    out_rows = np.empty(T * k, dtype=np.int32)
+    out_cols = np.empty(T * k, dtype=np.int32)
     out_vals = np.empty(T * k, dtype=np.float32)
     n = lib.topk_to_coo(
         ctypes.c_longlong(T),

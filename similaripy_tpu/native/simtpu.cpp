@@ -57,13 +57,14 @@ void coo_to_csr64(int64_t n_rows, int64_t nnz, const int64_t* rows,
 
 // Compact the executor's (T, k) top-K panels into COO triples, dropping
 // -inf (empty slot) and NaN entries. Returns the number of triples written.
-// targets maps panel row -> output row id.
+// targets maps panel row -> output row id. int32 ids suffice: inputs are
+// int32 by construction (the engine's device ids are int32).
 int64_t topk_to_coo(int64_t n_rows_panel, int64_t k, const float* vals,
                     const int32_t* idx, const int32_t* targets,
-                    int64_t* out_rows, int64_t* out_cols, float* out_vals) {
+                    int32_t* out_rows, int32_t* out_cols, float* out_vals) {
   int64_t w = 0;
   for (int64_t i = 0; i < n_rows_panel; ++i) {
-    const int64_t row = targets[i];
+    const int32_t row = targets[i];
     const float* v = vals + i * k;
     const int32_t* c = idx + i * k;
     for (int64_t j = 0; j < k; ++j) {
