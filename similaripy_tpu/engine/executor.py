@@ -323,18 +323,18 @@ def _densify_group(rows, cols, vals, *, u_pad: int, tc: int, compute_dtype: str)
     ),
     donate_argnums=(9, 10),
 )
-def _run_panel_group(
-    m1_rows,
+def _run_group_panels(
+    m1_rows,  # (P, p1) int32 — stacked panel COOs
     m1_cols,
     m1_vals,
-    x_t,
+    x_t,  # (P, trp) f32
     x_c,
     x_d,
-    d_stack,  # (G, u_pad, tc) dense tiles
-    tiles,  # dict of per-tile arrays, leading dim G
+    d_stack,  # (G, u_pad, tc) dense tiles (shared across panels)
+    tiles,  # dict: per-tile arrays lead with G; selector arrays with (P, G)
     pvec,  # (10,)
-    carry_vals,  # (trp, k) donated
-    carry_idx,  # (trp, k) donated
+    carry_vals,  # (P, trp, k) donated
+    carry_idx,  # (P, trp, k) donated
     *,
     flags: tuple,
     k: int,
@@ -349,6 +349,8 @@ def _run_panel_group(
     precision: str,
     use_pallas: bool,
 ):
+    """All panels x all group tiles in one dispatch: scan over panels,
+    inner scan over the group's resident tiles."""
     cdt, acc = compute_cast(compute_dtype)
     prec = {
         "default": jax.lax.Precision.DEFAULT,
@@ -356,76 +358,102 @@ def _run_panel_group(
         "highest": jax.lax.Precision.HIGHEST,
     }[precision]
 
-    m1_dense = densify((trp, u_pad), m1_rows, m1_cols, m1_vals, cdt)
-    tiles = dict(tiles)
-    tiles["d"] = d_stack
+    group_tiles = {
+        k2: v for k2, v in tiles.items() if not k2.startswith(("fil_", "tgt_"))
+    }
+    group_tiles["d"] = d_stack
+    sel_xs = {k2: v for k2, v in tiles.items() if k2.startswith(("fil_", "tgt_"))}
 
-    def tile_step(carry, xs):
-        topk_vals, topk_idx = carry
-        d = xs["d"]
+    def panel_step(_, pxs):
+        m1_dense = densify(
+            (trp, u_pad), pxs["pr"], pxs["pc"], pxs["pv"], cdt
+        )
+        x_t, x_c, x_d = pxs["xt"], pxs["xc"], pxs["xd"]
+        tiles_p = dict(group_tiles)
+        for k2, v in sel_xs.items():
+            tiles_p[k2] = pxs[k2]
 
-        fmask = tmask = None
-        if has_filter:
-            fmask = (
-                jnp.zeros((trp, tc), jnp.uint8)
-                .at[xs["fil_rows"], xs["fil_cols"]]
-                .set(1, mode="drop")
-            )
-        if has_target:
-            tmask = (
-                jnp.zeros((trp, tc), jnp.uint8)
-                .at[xs["tgt_rows"], xs["tgt_cols"]]
-                .set(1, mode="drop")
-            )
+        def tile_step(carry, xs):
+            topk_vals, topk_idx = carry
+            d = xs["d"]
 
-        if use_pallas:
-            from .pallas_kernels import fused_tile_topk
+            fmask = tmask = None
+            if has_filter:
+                fmask = (
+                    jnp.zeros((trp, tc), jnp.uint8)
+                    .at[xs["fil_rows"], xs["fil_cols"]]
+                    .set(1, mode="drop")
+                )
+            if has_target:
+                tmask = (
+                    jnp.zeros((trp, tc), jnp.uint8)
+                    .at[xs["tgt_rows"], xs["tgt_cols"]]
+                    .set(1, mode="drop")
+                )
 
-            pvec_ext = jnp.concatenate(
-                [pvec, xs["col_offset"][0].astype(jnp.float32).reshape(1),
-                 jnp.zeros(5, jnp.float32)]
+            if use_pallas:
+                from .pallas_kernels import fused_tile_topk
+
+                pvec_ext = jnp.concatenate(
+                    [pvec, xs["col_offset"][0].astype(jnp.float32).reshape(1),
+                     jnp.zeros(5, jnp.float32)]
+                )
+                vals_t, idx_t = fused_tile_topk(
+                    m1_dense,
+                    d,
+                    x_t, x_c, x_d,
+                    xs["y_t"], xs["y_c"], xs["y_d"],
+                    pvec_ext,
+                    allowed=(
+                        xs["allowed"].astype(jnp.uint8) if has_allowed else None
+                    ),
+                    fmask=fmask,
+                    tmask=tmask,
+                    flags=flags,
+                    k_pad=k_pad,
+                    int8_mode=compute_dtype == "int8",
+                    precision=prec,
+                    interpret=jax.default_backend() != "tpu",
+                )
+                cand_vals, cand_idx = vals_t.T, idx_t.T
+                all_vals = jnp.concatenate([topk_vals, cand_vals], axis=1)
+                all_idx = jnp.concatenate([topk_idx, cand_idx], axis=1)
+                new_vals, pos = jax.lax.top_k(all_vals, k)
+                new_idx = jnp.take_along_axis(all_idx, pos, axis=1)
+                return (new_vals, new_idx), None
+
+            xy = jnp.dot(m1_dense, d, preferred_element_type=acc, precision=prec)
+            if compute_dtype == "int8":
+                xy = xy.astype(jnp.float32) * pvec[9]
+            candidate = xy != 0.0
+            if has_allowed:
+                candidate = jnp.logical_and(candidate, xs["allowed"][None, :])
+            if has_filter:
+                candidate = jnp.logical_and(candidate, fmask == 0)
+            if has_target:
+                candidate = jnp.logical_and(candidate, tmask != 0)
+            val = splus_epilogue(
+                xy, candidate, x_t, x_c, x_d,
+                xs["y_t"], xs["y_c"], xs["y_d"], pvec, flags,
             )
-            vals_t, idx_t = fused_tile_topk(
-                m1_dense,
-                d,
-                x_t, x_c, x_d,
-                xs["y_t"], xs["y_c"], xs["y_d"],
-                pvec_ext,
-                allowed=xs["allowed"].astype(jnp.uint8) if has_allowed else None,
-                fmask=fmask,
-                tmask=tmask,
-                flags=flags,
-                k_pad=k_pad,
-                int8_mode=compute_dtype == "int8",
-                precision=prec,
-                interpret=jax.default_backend() != "tpu",
+            col_ids = xs["col_offset"] + jax.lax.broadcasted_iota(
+                jnp.int32, (1, tc), 1
             )
-            cand_vals, cand_idx = vals_t.T, idx_t.T
-            all_vals = jnp.concatenate([topk_vals, cand_vals], axis=1)
-            all_idx = jnp.concatenate([topk_idx, cand_idx], axis=1)
-            new_vals, pos = jax.lax.top_k(all_vals, k)
-            new_idx = jnp.take_along_axis(all_idx, pos, axis=1)
+            new_vals, new_idx = topk_merge(topk_vals, topk_idx, val, col_ids, k)
             return (new_vals, new_idx), None
 
-        xy = jnp.dot(m1_dense, d, preferred_element_type=acc, precision=prec)
-        if compute_dtype == "int8":
-            xy = xy.astype(jnp.float32) * pvec[9]
-        candidate = xy != 0.0
-        if has_allowed:
-            candidate = jnp.logical_and(candidate, xs["allowed"][None, :])
-        if has_filter:
-            candidate = jnp.logical_and(candidate, fmask == 0)
-        if has_target:
-            candidate = jnp.logical_and(candidate, tmask != 0)
-        val = splus_epilogue(
-            xy, candidate, x_t, x_c, x_d,
-            xs["y_t"], xs["y_c"], xs["y_d"], pvec, flags,
+        (vals_p, idx_p), _ = jax.lax.scan(
+            tile_step, (pxs["cv"], pxs["ci"]), tiles_p
         )
-        col_ids = xs["col_offset"] + jax.lax.broadcasted_iota(jnp.int32, (1, tc), 1)
-        new_vals, new_idx = topk_merge(topk_vals, topk_idx, val, col_ids, k)
-        return (new_vals, new_idx), None
+        return None, (vals_p, idx_p)
 
-    (vals, idx), _ = jax.lax.scan(tile_step, (carry_vals, carry_idx), tiles)
+    panel_xs = {
+        "pr": m1_rows, "pc": m1_cols, "pv": m1_vals,
+        "xt": x_t, "xc": x_c, "xd": x_d,
+        "cv": carry_vals, "ci": carry_idx,
+    }
+    panel_xs.update(sel_xs)
+    _, (vals, idx) = jax.lax.scan(panel_step, None, panel_xs)
     return vals, idx
 
 
@@ -849,27 +877,29 @@ def execute(
         p1 = _pad_bucket(
             max(int(row_nnz[sel].sum()) for sel in panel_sel)
         )
-        panels_dev = []
+        pr = np.full((n_panels, p1), trp, dtype=np.int32)
+        pc = np.zeros((n_panels, p1), dtype=np.int32)
+        pv = np.zeros((n_panels, p1), dtype=np.float32)
+        sx_t = np.ones((n_panels, trp), dtype=np.float32)
+        sx_c = np.ones((n_panels, trp), dtype=np.float32)
+        sx_d = np.ones((n_panels, trp), dtype=np.float32)
         for p in range(n_panels):
             sel = panel_sel[p]
             panel = m1_t[sel]
             nnz = panel.data.shape[0]
-            pr = np.full(p1, trp, dtype=np.int32)
-            pc = np.zeros(p1, dtype=np.int32)
-            pv = np.zeros(p1, dtype=np.float32)
-            pr[:nnz] = np.repeat(
+            pr[p, :nnz] = np.repeat(
                 np.arange(sel.shape[0], dtype=np.int32), np.diff(panel.indptr)
             )
-            pc[:nnz] = panel.indices
-            pv[:nnz] = panel.data
+            pc[p, :nnz] = panel.indices
+            pv[p, :nnz] = panel.data
 
             tgt_ids = targets[sel]
-            x_t = _pad_vec(xt_full[tgt_ids] if xt_full is not None else None, trp)
-            x_c = _pad_vec(xc_full[tgt_ids] if xc_full is not None else None, trp)
-            x_d = _pad_vec(xd_full[tgt_ids] if xd_full is not None else None, trp)
-            panels_dev.append(
-                tuple(jnp.asarray(a) for a in (pr, pc, pv, x_t, x_c, x_d))
-            )
+            sx_t[p] = _pad_vec(xt_full[tgt_ids] if xt_full is not None else None, trp)
+            sx_c[p] = _pad_vec(xc_full[tgt_ids] if xc_full is not None else None, trp)
+            sx_d[p] = _pad_vec(xd_full[tgt_ids] if xd_full is not None else None, trp)
+        panels_dev = tuple(
+            jnp.asarray(a) for a in (pr, pc, pv, sx_t, sx_c, sx_d)
+        )
         _cache_put(m1_key, (panels_dev, panel_sel))
     else:
         panels_dev, panel_sel = cached
@@ -888,27 +918,28 @@ def execute(
         pf_t = _pad_bucket(
             max((int(cnt[sel].sum()) for sel in panel_sel), default=1), minimum=256
         )
+    sel_stacked = {}
     for p in range(n_panels):
         entry = {}
         if has_filter:
             fr, fc = _stack_selector_tiles_balanced(
                 fil_t[panel_sel[p]].tocsc(), tile_lists, tc, trp, pf=pf_f
             )
-            entry["fil_rows"], entry["fil_cols"] = jnp.asarray(fr), jnp.asarray(fc)
+            entry["fil_rows"], entry["fil_cols"] = fr, fc
         if has_target:
             tr, tcl = _stack_selector_tiles_balanced(
                 tgt_t[panel_sel[p]].tocsc(), tile_lists, tc, trp, pf=pf_t
             )
-            entry["tgt_rows"], entry["tgt_cols"] = jnp.asarray(tr), jnp.asarray(tcl)
+            entry["tgt_rows"], entry["tgt_cols"] = tr, tcl
         sel_tiles.append(entry)
+    if sel_tiles and sel_tiles[0]:
+        sel_stacked = {
+            name: jnp.asarray(np.stack([e[name] for e in sel_tiles]))
+            for name in sel_tiles[0]
+        }  # (P, n_tiles, pf)
 
-    carries = [
-        (
-            jnp.full((trp, k), NEG_INF, jnp.float32),
-            jnp.zeros((trp, k), jnp.int32),
-        )
-        for _ in range(n_panels)
-    ]
+    carry_v = jnp.full((n_panels, trp, k), NEG_INF, jnp.float32)
+    carry_i = jnp.zeros((n_panels, trp, k), jnp.int32)
 
     timing = os.environ.get("SIMILARIPY_TPU_TIMING") == "1"
     if timing:
@@ -954,50 +985,47 @@ def execute(
         if has_allowed:
             group_tiles["allowed"] = tiles_common["allowed"][t0:t1]
 
-        for p in range(n_panels):
-            d_pr, d_pc, d_pv, d_xt, d_xc, d_xd = panels_dev[p]
-            tiles = dict(group_tiles)
-            for name, arr in sel_tiles[p].items():
-                tiles[name] = arr[t0:t1]
+        tiles = dict(group_tiles)
+        for name, arr in sel_stacked.items():
+            tiles[name] = arr[:, t0:t1]  # (P, G, pf)
 
-            carries[p] = _run_panel_group(
-                d_pr, d_pc, d_pv, d_xt, d_xc, d_xd,
-                d_stack,
-                tiles,
-                pvec,
-                carries[p][0],
-                carries[p][1],
-                flags=params.static_flags(),
-                k=k,
-                k_pad=k_pad,
-                trp=trp,
-                u_pad=u_pad,
-                tc=tc,
-                has_allowed=has_allowed,
-                has_filter=has_filter,
-                has_target=has_target,
-                compute_dtype=compute_dtype,
-                precision=precision,
-                use_pallas=use_pallas,
-            )
-            if progress is not None and g == n_groups - 1:
-                progress.update(panel_sel[p].shape[0])
+        d_pr, d_pc, d_pv, d_xt, d_xc, d_xd = panels_dev
+        carry_v, carry_i = _run_group_panels(
+            d_pr, d_pc, d_pv, d_xt, d_xc, d_xd,
+            d_stack,
+            tiles,
+            pvec,
+            carry_v,
+            carry_i,
+            flags=params.static_flags(),
+            k=k,
+            k_pad=k_pad,
+            trp=trp,
+            u_pad=u_pad,
+            tc=tc,
+            has_allowed=has_allowed,
+            has_filter=has_filter,
+            has_target=has_target,
+            compute_dtype=compute_dtype,
+            precision=precision,
+            use_pallas=use_pallas,
+        )
+        if progress is not None and g == n_groups - 1:
+            progress.update(T)
         # barrier before the next group: dispatch is async, and without it
         # the next group's dense tile stack stays live while later work
         # queues behind it (2x-3x HBM -> OOM). block_until_ready is not
-        # reliable through tunneled backends, so force a tiny readback —
-        # of the LAST panel only: the device stream is in dispatch order,
-        # so its completion implies the whole group's.
+        # reliable through tunneled backends, so force a tiny readback.
         if n_groups > 1 or timing:
-            np.asarray(carries[-1][0][:1, :1])
+            np.asarray(carry_v[:1, :1, :1])
         if timing:
             _lap(f"group {g} panels x{n_panels}")
         del d_stack
 
     # single batched readback: per-array transfers pay a full tunnel
-    # round-trip each (~50 ms x 2 x n_panels)
-    all_vals = np.asarray(jnp.stack([cv for cv, _ in carries]))
-    all_idx = np.asarray(jnp.stack([ci for _, ci in carries]))
+    # round-trip each
+    all_vals = np.asarray(carry_v)
+    all_idx = np.asarray(carry_i)
     for p in range(n_panels):
         sel = panel_sel[p]
         out_vals[sel] = all_vals[p, : sel.shape[0]]
