@@ -28,6 +28,7 @@ path); each partial product fits int32 by the executor's overflow guard.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -38,9 +39,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = float("-inf")
 
-TM = 256  # rows per block (panel subdivision)
-KB = 512  # inner (user) dim per block
-DEFAULT_TC = 4096  # column-tile width the kernel is tuned for
+# block sizes (env-tunable for kernel experiments)
+TM = int(os.environ.get("SIMILARIPY_TPU_TM", 256))  # rows per block
+KB = int(os.environ.get("SIMILARIPY_TPU_KB", 512))  # inner (user) dim per block
+DEFAULT_TC = int(os.environ.get("SIMILARIPY_TPU_TC", 4096))  # column-tile width
 
 
 def _kernel(
