@@ -174,6 +174,23 @@ class Preprocessed:
     qscale2: Optional[float] = None
 
 
+_PREP_CACHE: dict = {}
+_PREP_CACHE_CAP = 4
+
+
+def _prep_cache_key(m1, m2, depop1, depop2, p1, p2, c1, c2, l1, l2, l3,
+                    additive_shrink, binary):
+    from .executor import _fingerprint
+
+    d1 = depop1 if isinstance(depop1, str) else _fingerprint(np.asarray(depop1))
+    d2 = depop2 if isinstance(depop2, str) else _fingerprint(np.asarray(depop2))
+    return (
+        _fingerprint(m1.indptr, m1.indices, m1.data),
+        _fingerprint(m2.indptr, m2.indices, m2.data),
+        d1, d2, p1, p2, c1, c2, l1, l2, l3, additive_shrink, binary,
+    )
+
+
 def preprocess(
     matrix1,
     matrix2,
@@ -198,15 +215,57 @@ def preprocess(
     m1 = ensure_csr_f32(matrix1)
     m2 = ensure_csr_f32(matrix2)
 
-    if binary:
-        # Set theory: all non-zero values become 1.0
-        # (reference: s_plus_utils.pyx:299-304); zeros already eliminated.
-        m1 = sp.csr_array(
-            (np.ones_like(m1.data), m1.indices, m1.indptr), shape=m1.shape
-        )
-        m2 = sp.csr_array(
-            (np.ones_like(m2.data), m2.indices, m2.indptr), shape=m2.shape
-        )
+    # The O(nnz) artifacts (binary transform, norm vectors, quantization
+    # scales) depend only on the matrices + kernel hyperparameters, not on
+    # targets/selectors — cache them across calls (production scoring
+    # reuses the same matrices every batch).
+    cache_key = _prep_cache_key(
+        m1, m2, weight_depop_matrix1, weight_depop_matrix2,
+        p1, p2, c1, c2, l1, l2, l3, additive_shrink, binary,
+    )
+    hit = _PREP_CACHE.get(cache_key)
+
+    if hit is None:
+        if binary:
+            # Set theory: all non-zero values become 1.0
+            # (reference: s_plus_utils.pyx:299-304); zeros already eliminated.
+            m1 = sp.csr_array(
+                (np.ones_like(m1.data), m1.indices, m1.indptr), shape=m1.shape
+            )
+            m2 = sp.csr_array(
+                (np.ones_like(m2.data), m2.indices, m2.indptr), shape=m2.shape
+            )
+
+        Xt = Yt = Xc = Yc = Xd = Yd = None
+        # --- normalization vectors (reference: s_plus.pyx:258-269) ---
+        if l1 != 0.0 or l2 != 0.0:
+            m1_sq = sp.csr_array(
+                (m1.data * m1.data, m1.indices, m1.indptr), shape=m1.shape
+            )
+            m2_sq = sp.csr_array(
+                (m2.data * m2.data, m2.indices, m2.indptr), shape=m2.shape
+            )
+            m1_sq_norms = csr_row_sums(m1_sq)
+            m2_sq_norms = csr_col_sums(m2_sq)
+            if l1 != 0.0:
+                Xt, Yt = m1_sq_norms, m2_sq_norms
+            if l2 != 0.0:
+                # additive shrink enters inside the pre-power norms
+                # (reference: s_plus_utils.pyx:226-227)
+                Xc = np.power(m1_sq_norms + additive_shrink, c1, dtype=np.float32)
+                Yc = np.power(m2_sq_norms + additive_shrink, c2, dtype=np.float32)
+
+        if l3 != 0.0:
+            Xd = _depop_vector(weight_depop_matrix1, p1, m1, axis=1)
+            Yd = _depop_vector(weight_depop_matrix2, p2, m2, axis=0)
+
+        qs1 = quantize_scale(m1.data)
+        qs2 = quantize_scale(m2.data)
+        if len(_PREP_CACHE) >= _PREP_CACHE_CAP:
+            _PREP_CACHE.pop(next(iter(_PREP_CACHE)))
+        _PREP_CACHE[cache_key] = (m1, m2, (Xt, Yt, Xc, Yc, Xd, Yd), (qs1, qs2))
+    else:
+        m1, m2, (Xt, Yt, Xc, Yc, Xd, Yd), (qs1, qs2) = hit
 
     n_output_rows, n_output_cols = m1.shape[0], m2.shape[1]
 
@@ -226,27 +285,8 @@ def preprocess(
         n_output_rows=n_output_rows,
         n_output_cols=n_output_cols,
     )
-
-    # --- normalization vectors (reference: s_plus.pyx:258-269) ---
-    if l1 != 0.0 or l2 != 0.0:
-        m1_sq = sp.csr_array((m1.data * m1.data, m1.indices, m1.indptr), shape=m1.shape)
-        m2_sq = sp.csr_array((m2.data * m2.data, m2.indices, m2.indptr), shape=m2.shape)
-        m1_sq_norms = csr_row_sums(m1_sq)
-        m2_sq_norms = csr_col_sums(m2_sq)
-        if l1 != 0.0:
-            out.Xt, out.Yt = m1_sq_norms, m2_sq_norms
-        if l2 != 0.0:
-            # additive shrink enters inside the pre-power norms
-            # (reference: s_plus_utils.pyx:226-227)
-            out.Xc = np.power(m1_sq_norms + additive_shrink, c1, dtype=np.float32)
-            out.Yc = np.power(m2_sq_norms + additive_shrink, c2, dtype=np.float32)
-
-    if l3 != 0.0:
-        out.Xd = _depop_vector(weight_depop_matrix1, p1, m1, axis=1)
-        out.Yd = _depop_vector(weight_depop_matrix2, p2, m2, axis=0)
-
-    out.qscale1 = quantize_scale(m1.data)
-    out.qscale2 = quantize_scale(m2.data)
+    out.Xt, out.Yt, out.Xc, out.Yc, out.Xd, out.Yd = Xt, Yt, Xc, Yc, Xd, Yd
+    out.qscale1, out.qscale2 = qs1, qs2
 
     # --- column selectors (reference: s_plus.pyx:284-295) ---
     filter_sel = build_column_selector(filter_cols)
