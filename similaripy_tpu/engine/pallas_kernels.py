@@ -109,12 +109,20 @@ def _kernel(
             xy = xy * inv_scale
 
         candidate = xy != 0.0
+        # masks arrive as uint8; Mosaic lacks sub-word vector compares, so
+        # widen to int32 before testing
         if has_allowed:
-            candidate = jnp.logical_and(candidate, allowed_ref[:] != 0)
+            candidate = jnp.logical_and(
+                candidate, allowed_ref[:].astype(jnp.int32) != 0
+            )
         if has_filter:
-            candidate = jnp.logical_and(candidate, fmask_ref[:] == 0)
+            candidate = jnp.logical_and(
+                candidate, fmask_ref[:].astype(jnp.int32) == 0
+            )
         if has_target:
-            candidate = jnp.logical_and(candidate, tmask_ref[:] != 0)
+            candidate = jnp.logical_and(
+                candidate, tmask_ref[:].astype(jnp.int32) != 0
+            )
 
         # ---- S-Plus epilogue (reference: s_plus.h:129-156) ----
         xy_p = jnp.power(xy, a1) if use_pow else xy
