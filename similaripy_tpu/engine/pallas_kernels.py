@@ -84,6 +84,10 @@ def _kernel(
 
     if int8_mode:
         xy_ref[:] += jnp.dot(a_ref[:], d_ref[:], preferred_element_type=jnp.int32)
+    elif a_ref.dtype == jnp.bfloat16:
+        # precision passes are an f32-input concept; Mosaic rejects them
+        # ("Bad lhs type") on bf16 operands
+        xy_ref[:] += jnp.dot(a_ref[:], d_ref[:], preferred_element_type=jnp.float32)
     else:
         xy_ref[:] += jnp.dot(
             a_ref[:], d_ref[:], preferred_element_type=jnp.float32, precision=prec
