@@ -190,6 +190,11 @@ def fused_tile_topk(
     tc = d.shape[1]
     assert trp % TM == 0 and u_pad % KB == 0, (trp, u_pad)
 
+    if precision == jax.lax.Precision.HIGH:
+        # Mosaic implements only DEFAULT and HIGHEST; precision is a
+        # minimum guarantee, so run HIGH requests at HIGHEST
+        precision = jax.lax.Precision.HIGHEST
+
     grid = (trp // TM, u_pad // KB)
     acc_dtype = jnp.int32 if int8_mode else jnp.float32
 
