@@ -27,3 +27,6 @@ clean:
 	rm -rf build dist *.egg-info reports
 	find . -name __pycache__ -type d -exec rm -rf {} +
 	rm -f similaripy_tpu/native/libsimtpu.so
+
+test-pallas:
+	SIMILARIPY_TPU_USE_PALLAS=1 python -m pytest tests/ -q
