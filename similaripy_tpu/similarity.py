@@ -398,3 +398,56 @@ def s_plus(
             filter_cols, verbose, format_output, num_threads, block_size, extensions,
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Shared parameter documentation (appended to every public function; the
+# reference documents this surface on each of the nine functions)
+# ---------------------------------------------------------------------------
+
+_COMMON_DOC = """
+
+    Args:
+        matrix1: SciPy sparse matrix (rows are the similarity subjects).
+        matrix2: optional second sparse matrix; defaults to ``matrix1.T``
+            (item-item similarity). Shapes must chain:
+            ``matrix1.shape[1] == matrix2.shape[0]``.
+        k: neighbors kept per row (clamped to the output column count).
+        shrink: shrinkage strength, routed by ``shrink_type``.
+        shrink_type: 'stabilized' (added to the denominator), 'bayesian'
+            (multiplies by xy^a/(xy^a + shrink)), or 'additive' (added to
+            the squared norms before the cosine powers).
+        threshold: minimum score kept (applied before top-K).
+        binary: set-theoretic mode — every stored value becomes 1.
+        target_rows: compute only these rows (list/array of row ids;
+            duplicates and arbitrary order allowed).
+        target_cols: restrict output columns — a list/array applies
+            globally, a sparse (rows x cols) matrix applies per-row.
+        filter_cols: exclude output columns — same forms as target_cols;
+            pass the URM itself to mask each user's seen items.
+        verbose: render the staged progress bar.
+        format_output: 'coo' (default) or 'csr'.
+        num_threads: accepted for API compatibility and ignored — the
+            parallelism is the device grid.
+        block_size: column-tile width hint. None disables tiling,
+            0 (default) lets the planner choose, an int pins the width.
+
+    TPU extensions (keyword-only, via ``**extensions``):
+        compute_dtype: 'auto' (default — exact int8 MXU path when both
+            matrices integerize to |v| <= 127, else float32), 'float32',
+            'bfloat16', or 'int8'.
+        precision: float matmul passes — 'highest' (default), 'high',
+            or 'default' (single-pass bfloat16 inputs, ~5x faster).
+        mesh: a ``jax.sharding.Mesh`` with 'rows'/'cols' axes for
+            multi-device execution with a distributed top-K merge.
+
+    Returns:
+        SciPy sparse matrix of shape
+        ``(matrix1.shape[0], matrix2.shape[1])`` holding each computed
+        row's top-k scores.
+"""
+
+for _fn in (dot_product, cosine, asymmetric_cosine, tversky, jaccard, dice,
+            p3alpha, rp3beta, s_plus):
+    _fn.__doc__ = (_fn.__doc__ or "") + _COMMON_DOC
+del _fn
