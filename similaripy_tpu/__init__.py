@@ -33,9 +33,11 @@ from .similarity import (
     s_plus,
 )
 from . import normalization
+from .engine.executor import clear_caches
 
 __all__ = [
     "__version__",
+    "clear_caches",
     "normalize",
     "bm25",
     "bm25plus",

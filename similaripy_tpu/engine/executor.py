@@ -213,6 +213,20 @@ def densify(shape, rows, cols, vals, cdt):
     return d.astype(cdt) if sdt != cdt else d
 
 
+def scatter_mask(shape, rows, cols):
+    """Scatter a boolean membership mask through a bfloat16 buffer.
+
+    Byte-granularity TPU scatter (bool/uint8) is ~1000x slower than bf16
+    scatter — same reason densify() routes int8 through bf16. Returns bool.
+    """
+    buf = (
+        jnp.zeros(shape, jnp.bfloat16)
+        .at[rows, cols]
+        .set(jnp.bfloat16(1), mode="drop")
+    )
+    return buf != 0
+
+
 def panel_forward(
     m1_rows,
     m1_cols,
@@ -258,18 +272,10 @@ def panel_forward(
         if has_allowed:
             candidate = jnp.logical_and(candidate, xs["allowed"][None, :])
         if has_filter:
-            fmask = (
-                jnp.zeros((trp, tc), jnp.bool_)
-                .at[xs["fil_rows"], xs["fil_cols"]]
-                .set(True, mode="drop")
-            )
+            fmask = scatter_mask((trp, tc), xs["fil_rows"], xs["fil_cols"])
             candidate = jnp.logical_and(candidate, jnp.logical_not(fmask))
         if has_target:
-            tmask = (
-                jnp.zeros((trp, tc), jnp.bool_)
-                .at[xs["tgt_rows"], xs["tgt_cols"]]
-                .set(True, mode="drop")
-            )
+            tmask = scatter_mask((trp, tc), xs["tgt_rows"], xs["tgt_cols"])
             candidate = jnp.logical_and(candidate, tmask)
 
         val = splus_epilogue(
@@ -379,17 +385,9 @@ def _run_group_panels(
 
             fmask = tmask = None
             if has_filter:
-                fmask = (
-                    jnp.zeros((trp, tc), jnp.uint8)
-                    .at[xs["fil_rows"], xs["fil_cols"]]
-                    .set(1, mode="drop")
-                )
+                fmask = scatter_mask((trp, tc), xs["fil_rows"], xs["fil_cols"])
             if has_target:
-                tmask = (
-                    jnp.zeros((trp, tc), jnp.uint8)
-                    .at[xs["tgt_rows"], xs["tgt_cols"]]
-                    .set(1, mode="drop")
-                )
+                tmask = scatter_mask((trp, tc), xs["tgt_rows"], xs["tgt_cols"])
 
             if use_pallas:
                 from .pallas_kernels import fused_tile_topk
@@ -407,8 +405,8 @@ def _run_group_panels(
                     allowed=(
                         xs["allowed"].astype(jnp.uint8) if has_allowed else None
                     ),
-                    fmask=fmask,
-                    tmask=tmask,
+                    fmask=fmask.astype(jnp.uint8) if fmask is not None else None,
+                    tmask=tmask.astype(jnp.uint8) if tmask is not None else None,
                     flags=flags,
                     k_pad=k_pad,
                     int8_mode=compute_dtype == "int8",
@@ -429,9 +427,9 @@ def _run_group_panels(
             if has_allowed:
                 candidate = jnp.logical_and(candidate, xs["allowed"][None, :])
             if has_filter:
-                candidate = jnp.logical_and(candidate, fmask == 0)
+                candidate = jnp.logical_and(candidate, jnp.logical_not(fmask))
             if has_target:
-                candidate = jnp.logical_and(candidate, tmask != 0)
+                candidate = jnp.logical_and(candidate, tmask)
             val = splus_epilogue(
                 xy, candidate, x_t, x_c, x_d,
                 xs["y_t"], xs["y_c"], xs["y_d"], pvec, flags,
@@ -485,6 +483,19 @@ def clear_device_cache():
     _DEVICE_CACHE.clear()
 
 
+def clear_caches():
+    """Drop every engine cache: device-resident tile/panel uploads and the
+    host preprocess cache. Safe to call any time; the next call re-stages.
+
+    Both caches key on full-content fingerprints of the input matrices, so
+    this is never needed for correctness — only to release HBM/host memory.
+    """
+    from .preprocess import clear_prep_cache
+
+    _DEVICE_CACHE.clear()
+    clear_prep_cache()
+
+
 def _pallas_enabled() -> bool:
     """Fused Pallas kernel on TPU by default; SIMILARIPY_TPU_USE_PALLAS=1
     forces it elsewhere (interpret mode — for tests), =0 disables."""
@@ -497,9 +508,13 @@ def _pallas_enabled() -> bool:
 
 
 def _fingerprint(*arrays) -> str:
-    """Cheap content fingerprint: full structure arrays are hashed sampled
-    so a 30M-nnz matrix keys in ~10 ms; collisions are vanishingly unlikely
-    for real inputs (shape + nnz + strided content samples)."""
+    """Full-content fingerprint of the given arrays.
+
+    Hashes every byte (blake2b runs at GB/s — ~30 ms for 30M nnz, negligible
+    next to the pipeline) so in-place mutation of a SciPy matrix's .data
+    between calls is always detected; the caches can never serve results for
+    a stale matrix.
+    """
     import hashlib
 
     h = hashlib.blake2b(digest_size=16)
@@ -510,12 +525,8 @@ def _fingerprint(*arrays) -> str:
         a = np.asarray(a)
         h.update(str(a.shape).encode())
         h.update(str(a.dtype).encode())
-        n = a.size
-        if n:
-            flat = a.reshape(-1)
-            stride = max(n // 4096, 1)
-            h.update(np.ascontiguousarray(flat[::stride]).tobytes())
-            h.update(flat[-1:].tobytes())
+        if a.size:
+            h.update(np.ascontiguousarray(a).tobytes())
     return h.hexdigest()
 
 

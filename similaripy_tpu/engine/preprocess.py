@@ -58,23 +58,8 @@ def validate_s_plus_inputs(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
 
-    if not (
-        (not isinstance(weight_depop_matrix1, str) and len(weight_depop_matrix1) == matrix1.shape[0])
-        or (isinstance(weight_depop_matrix1, str) and weight_depop_matrix1 in ("none", "sum"))
-    ):
-        raise ValueError(
-            f"weight_depop_matrix1 must be array of length {matrix1.shape[0]} "
-            f'or one of ("none", "sum"), got length {len(weight_depop_matrix1)}'
-        )
-
-    if not (
-        (not isinstance(weight_depop_matrix2, str) and len(weight_depop_matrix2) == matrix2.shape[1])
-        or (isinstance(weight_depop_matrix2, str) and weight_depop_matrix2 in ("none", "sum"))
-    ):
-        raise ValueError(
-            f"weight_depop_matrix2 must be array of length {matrix2.shape[1]} "
-            f'or one of ("none", "sum"), got length {len(weight_depop_matrix2)}'
-        )
+    _validate_depop("weight_depop_matrix1", weight_depop_matrix1, matrix1.shape[0])
+    _validate_depop("weight_depop_matrix2", weight_depop_matrix2, matrix2.shape[1])
 
     if target_rows is not None and len(target_rows) > matrix1.shape[0]:
         raise ValueError(
@@ -99,6 +84,31 @@ def validate_s_plus_inputs(
 
     if format_output not in ("coo", "csr"):
         raise ValueError(f"format_output must be 'coo' or 'csr', got '{format_output}'")
+
+
+def _validate_depop(name: str, spec, expected_len: int) -> None:
+    """A depop weight is 'none' | 'sum' | a sequence of exactly expected_len.
+
+    Anything without a length (scalars, generators) gets the same ValueError
+    as a wrong-length array rather than a bare TypeError from len().
+    """
+    if isinstance(spec, str):
+        if spec in ("none", "sum"):
+            return
+        got = f"'{spec}'"
+    else:
+        try:
+            n = len(spec)
+        except TypeError:
+            got = f"type {type(spec).__name__}"
+        else:
+            if n == expected_len:
+                return
+            got = f"length {n}"
+    raise ValueError(
+        f"{name} must be array of length {expected_len} "
+        f'or one of ("none", "sum"), got {got}'
+    )
 
 
 @dataclass
@@ -176,6 +186,10 @@ class Preprocessed:
 
 _PREP_CACHE: dict = {}
 _PREP_CACHE_CAP = 4
+
+
+def clear_prep_cache():
+    _PREP_CACHE.clear()
 
 
 def _prep_cache_key(m1, m2, depop1, depop2, p1, p2, c1, c2, l1, l2, l3,
@@ -314,7 +328,9 @@ def quantize_scale(data: np.ndarray) -> Optional[float]:
         scaled = data * s
         if np.abs(scaled).max() > 127:
             return None
-        if np.allclose(scaled, np.rint(scaled), rtol=0, atol=1e-6):
+        # exact integrality required: near-integral data (float noise) must
+        # take the float path rather than be silently snapped to integers
+        if (scaled == np.rint(scaled)).all():
             return s
     return None
 

@@ -25,39 +25,39 @@ _TF_MODES = _ops.TF_MODES
 _IDF_MODES = _ops.IDF_MODES
 
 
-# ---- private helpers (semantics of reference normalization.py:23-87) ----
+# ---- private helpers (behavioral spec: reference normalization.py:23-87) ----
 
 
-def _check_matrix(X):
+def _to_row_view(X, axis: int, inplace: bool):
+    """CSR with the normalized axis laid out as rows.
+
+    Accepts any SciPy sparse container (float data enforced, non-float input
+    recast to f32), copies unless `inplace`, and transposes when axis == 0 so
+    every kernel below only ever thinks in rows.
+    """
+    if axis not in (0, 1):
+        raise ValueError(f"axis must be 0 or 1, got {axis}")
     if not sps.issparse(X):
         raise TypeError("X must be a sparse matrix")
     if X.data.dtype not in (np.float32, np.float64):
         X = sps.csr_array(X, dtype=np.float32)
-    return X
-
-
-def _prepare_csr(X, axis: int, inplace: bool):
-    if axis not in (0, 1):
-        raise ValueError(f"axis must be 0 or 1, got {axis}")
-    X = _check_matrix(X)
-    if not inplace:
+    elif not inplace:
         X = X.copy()
-    if axis == 0:
-        X = X.T
-    return X.tocsr()
+    return (X.T if axis == 0 else X).tocsr()
 
 
-def _finalize_csr(X, axis: int):
-    if axis == 0:
-        X = X.T
-    return X.tocsr()
+def _from_row_view(X, axis: int):
+    """Undo _to_row_view's transposition; always hand back CSR."""
+    return (X.T if axis == 0 else X).tocsr()
 
 
 def _validate_modes(tf_mode: str, idf_mode: str) -> None:
-    if tf_mode not in _TF_MODES:
-        raise ValueError(f"tf_mode must be one of {_TF_MODES}, got '{tf_mode}'")
-    if idf_mode not in _IDF_MODES:
-        raise ValueError(f"idf_mode must be one of {_IDF_MODES}, got '{idf_mode}'")
+    for name, value, allowed in (
+        ("tf_mode", tf_mode, _TF_MODES),
+        ("idf_mode", idf_mode, _IDF_MODES),
+    ):
+        if value not in allowed:
+            raise ValueError(f"{name} must be one of {allowed}, got '{value}'")
 
 
 def _apply_data_transform(X, fn_jax, fn_numpy):
@@ -139,14 +139,14 @@ def normalize(X, norm: str = "l2", axis: int = 1, inplace: bool = False):
     """
     if norm not in _NORMALIZATIONS:
         raise ValueError(f"norm must be one of {_NORMALIZATIONS}, got '{norm}'")
-    X = _prepare_csr(X, axis, inplace)
+    X = _to_row_view(X, axis, inplace)
     n_rows = X.shape[0]
 
     def fn_jax(data, indices, row_ids):
         return _ops.normalize_rows(data, row_ids, n_rows, norm)
 
     X = _apply_data_transform(X, fn_jax, _np_normalize(norm))
-    return _finalize_csr(X, axis)
+    return _from_row_view(X, axis)
 
 
 def bm25(
@@ -180,10 +180,10 @@ def bm25plus(
 
 def _bm25_family(X, axis, k1, b, delta, logbase, tf_mode, idf_mode, inplace):
     _validate_modes(tf_mode, idf_mode)
-    X = _prepare_csr(X, axis, inplace)
+    X = _to_row_view(X, axis, inplace)
     n_rows, n_cols = X.shape
     if n_rows == 0:
-        return _finalize_csr(X, axis)
+        return _from_row_view(X, axis)
 
     def fn_jax(data, indices, row_ids):
         return _ops.bm25plus_data(
@@ -200,7 +200,7 @@ def _bm25_family(X, axis, k1, b, delta, logbase, tf_mode, idf_mode, inplace):
         return idf_vals[indices] * (tf_vals * (k1 + 1.0) / (tf_vals + k1 * norm_doc_len[row_ids]) + delta)
 
     X = _apply_data_transform(X, fn_jax, fn_numpy)
-    return _finalize_csr(X, axis)
+    return _from_row_view(X, axis)
 
 
 def tfidf(
@@ -213,7 +213,7 @@ def tfidf(
 ):
     """TF-IDF normalization (reference: normalization.py:190-218)."""
     _validate_modes(tf_mode, idf_mode)
-    X = _prepare_csr(X, axis, inplace)
+    X = _to_row_view(X, axis, inplace)
     n_rows, n_cols = X.shape
 
     def fn_jax(data, indices, row_ids):
@@ -227,4 +227,4 @@ def tfidf(
         return tf_vals * idf_vals[indices]
 
     X = _apply_data_transform(X, fn_jax, fn_numpy)
-    return _finalize_csr(X, axis)
+    return _from_row_view(X, axis)

@@ -47,16 +47,18 @@ def csr_row_sums(m: sp.csr_array) -> np.ndarray:
     """Row sums, float32; empty rows are 0 (reference: s_plus_utils.pyx:151-159)."""
     indptr = m.indptr
     nnz = m.data.shape[0]
+    out = np.zeros(m.shape[0], dtype=np.float32)
     if nnz == 0:
-        return np.zeros(m.shape[0], dtype=np.float32)
-    # clip: reduceat rejects start == nnz (rows at/after the last stored
-    # element); those rows are empty and zeroed by the mask below
-    starts = np.minimum(indptr[:-1].astype(np.int64), nnz - 1)
-    out = np.add.reduceat(m.data.astype(np.float32, copy=False), starts)
-    out = out.astype(np.float32, copy=False)
-    empty = np.diff(indptr) == 0
-    if empty.any():
-        out[empty] = 0.0
+        return out
+    # reduceat only over non-empty row starts: every start is < nnz and the
+    # starts are strictly increasing, so each segment covers exactly one
+    # row's data (empty rows contribute no elements between two starts)
+    nonempty = np.flatnonzero(np.diff(indptr) > 0)
+    sums = np.add.reduceat(
+        m.data.astype(np.float32, copy=False),
+        indptr[:-1][nonempty].astype(np.int64),
+    )
+    out[nonempty] = sums.astype(np.float32, copy=False)
     return out
 
 

@@ -1,0 +1,104 @@
+"""Regression tests for round-1 advisor findings (ADVICE.md).
+
+Each test pins a specific fixed defect:
+  - csr_row_sums on matrices with trailing empty rows (high)
+  - cache staleness after in-place .data mutation (medium)
+  - quantize_scale snapping near-integral float noise onto int8 (low)
+  - depop-weight validation raising bare TypeError on scalars (weak #6)
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import similaripy_tpu as sim
+from similaripy_tpu.engine.preprocess import quantize_scale, validate_s_plus_inputs
+from similaripy_tpu.ops.csr import csr_row_sums
+
+VERBOSE = False
+
+
+def test_csr_row_sums_trailing_empty_rows():
+    # indptr=[0,3,5,5]: last non-empty row has 2 nnz, then a trailing empty row
+    m = sp.csr_array(
+        (
+            np.array([1.0, 2.0, 3.0, 4.0, 5.0], np.float32),
+            np.array([0, 1, 2, 0, 1]),
+            np.array([0, 3, 5, 5]),
+        ),
+        shape=(3, 4),
+    )
+    np.testing.assert_allclose(csr_row_sums(m), [6.0, 9.0, 0.0])
+
+
+def test_csr_row_sums_interleaved_empty_rows():
+    rng = np.random.default_rng(0)
+    dense = rng.random((20, 10)).astype(np.float32)
+    dense[dense < 0.7] = 0.0
+    dense[3] = 0.0
+    dense[0] = 0.0
+    dense[19] = 0.0  # trailing empty
+    dense[18] = 0.0
+    m = sp.csr_array(dense)
+    np.testing.assert_allclose(csr_row_sums(m), dense.sum(axis=1), rtol=1e-6)
+
+
+def test_cosine_with_trailing_empty_rows_exact():
+    # end-to-end: advisor repro — self-similarity must be exactly 1.0
+    dense = np.zeros((4, 5), np.float32)
+    dense[0] = [1, 2, 0, 0, 0]
+    dense[1] = [0, 1, 1, 0, 0]
+    dense[2] = [3, 0, 0, 4, 0]  # last non-empty row, >=2 nnz
+    # row 3 empty (trailing)
+    m = sp.csr_array(dense)
+    out = sim.cosine(m, k=4, verbose=VERBOSE).tocsr().toarray()
+    np.testing.assert_allclose(np.diag(out)[:3], 1.0, rtol=1e-5)
+
+
+def test_inplace_data_mutation_invalidates_caches():
+    rng = np.random.default_rng(1)
+    m = sp.random_array((50, 30), density=0.2, format="csr",
+                        dtype=np.float32, random_state=rng)
+    m.data[:] = np.round(m.data * 4) + 1.0
+    out1 = sim.dot_product(m, k=50, threshold=float("-inf"), verbose=VERBOSE).tocsr()
+    # mutate exactly one element in place (a normal scipy pattern)
+    m.data[m.data.shape[0] // 2] += 1.0
+    out2 = sim.dot_product(m, k=50, threshold=float("-inf"), verbose=VERBOSE).tocsr()
+    ref2 = (m @ m.T).toarray()
+    got2 = out2.toarray()
+    np.testing.assert_allclose(got2, ref2, rtol=1e-4)
+    assert not np.allclose(out1.toarray(), got2)
+
+
+def test_clear_caches_api():
+    m = sp.random_array((20, 10), density=0.3, format="csr", dtype=np.float32,
+                        random_state=np.random.default_rng(2))
+    sim.dot_product(m, k=5, verbose=VERBOSE)
+    sim.clear_caches()  # must not raise; next call re-stages
+    out = sim.dot_product(m, k=5, verbose=VERBOSE)
+    assert out.nnz > 0
+
+
+def test_quantize_scale_rejects_near_integral_noise():
+    data = np.array([1.0, 2.0, 3.0], np.float32) + np.float32(1e-6)
+    assert quantize_scale(data) is None
+    # exactly representable half-stars still quantize with scale 2
+    assert quantize_scale(np.array([0.5, 1.5, 5.0], np.float32)) == 2.0
+    assert quantize_scale(np.array([1.0, 2.0, 127.0], np.float32)) == 1.0
+    assert quantize_scale(np.array([200.0], np.float32)) is None
+
+
+def test_depop_scalar_raises_value_error():
+    m = sp.identity(4, format="csr", dtype=np.float32)
+    with pytest.raises(ValueError, match="weight_depop_matrix1"):
+        validate_s_plus_inputs(
+            m, m, 3.5, "none", 5, None, None, None, False, "coo"
+        )
+    with pytest.raises(ValueError, match="weight_depop_matrix2"):
+        validate_s_plus_inputs(
+            m, m, "none", 7, 5, None, None, None, False, "coo"
+        )
+    with pytest.raises(ValueError, match='one of \\("none", "sum"\\)'):
+        validate_s_plus_inputs(
+            m, m, "bogus", "none", 5, None, None, None, False, "coo"
+        )
