@@ -9,11 +9,18 @@ half-star rating domain plus power-law degree profiles
 (similaripy_tpu/utils/synth.py) — on which the engine's exact int8 MXU
 path arms, as it would on the real dataset.
 
-Baseline: the reference's published v0.6.0 sample on the real ML-32M
-(17147.5 items/s, cosine k=100, tests/benchmarks/README.md:196-209).
+Baselines:
+  - vs_baseline: the reference's published v0.6.0 sample on the real ML-32M
+    (17147.5 items/s, cosine k=100, tests/benchmarks/README.md:196-209;
+    unspecified hardware).
+  - vs_cpu_measured: the reference's own native kernel (unmodified s_plus.h)
+    measured ON THIS MACHINE on this exact synthetic workload
+    (1092.9 items/s, 4-core Xeon 2.10GHz — benchmarks/reference_cpu/,
+    reports/reference_cpu_baseline.json).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "items/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "items/s", "vs_baseline": N,
+   "vs_cpu_measured": N}
 
 Env knobs:
   SIMILARIPY_BENCH_SCALE  fraction of ML-32M nnz (default 1.0)
@@ -30,6 +37,7 @@ import time
 import numpy as np
 
 BASELINE_ITEMS_PER_S = 17147.5  # reference sample, real ML-32M cosine k=100
+CPU_MEASURED_ITEMS_PER_S = 1092.9  # reference kernel on this machine (see above)
 
 
 def _sample_recall(item_user, result, k: int, n_sample: int, seed: int = 1):
@@ -121,6 +129,7 @@ def main():
                 "value": round(items_per_s, 1),
                 "unit": "items/s",
                 "vs_baseline": round(items_per_s / BASELINE_ITEMS_PER_S, 3),
+                "vs_cpu_measured": round(items_per_s / CPU_MEASURED_ITEMS_PER_S, 3),
             }
         )
     )
