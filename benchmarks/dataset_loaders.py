@@ -1,11 +1,15 @@
 """Benchmark dataset loading.
 
 The reference downloads MovieLens 25M/32M and Yambda 50M/500M
-(reference: tests/benchmarks/dataset_loaders.py:21-232). This environment
-has no network egress, so the loaders resolve in order:
+(reference: tests/benchmarks/dataset_loaders.py:21-232). The loaders here
+resolve in order:
   1. a local file (CSV ratings / .npz sparse) given via --data-path or
      found under ./data/<name>/
-  2. a synthetic power-law URM with the named dataset's published shape
+  2. an automatic download (MovieLens zip from grouplens.org; Yambda
+     parquet from HuggingFace) when the network is reachable — probed
+     with a short-timeout connection test so no-egress environments skip
+     straight to 3 without hanging
+  3. a synthetic power-law URM with the named dataset's published shape
      and nnz (similaripy_tpu/utils/synth.py)
 """
 
@@ -18,6 +22,82 @@ import numpy as np
 import scipy.sparse as sp
 
 from similaripy_tpu.utils.synth import synthetic_urm
+
+MOVIELENS_URLS = {
+    "movielens_25m": (
+        "https://files.grouplens.org/datasets/movielens/ml-25m.zip", "ml-25m"
+    ),
+    "movielens_32m": (
+        "https://files.grouplens.org/datasets/movielens/ml-32m.zip", "ml-32m"
+    ),
+}
+YAMBDA_FILES = {
+    "yambda_50m": "flat/50m/multi_event.parquet",
+    "yambda_500m": "flat/500m/multi_event.parquet",
+}
+_YAMBDA_REPO = "yandex/yambda"
+
+
+def _has_egress(timeout: float = 3.0) -> bool:
+    """Cheap network probe so no-egress sandboxes fail fast to synthetic."""
+    import socket
+
+    try:
+        socket.create_connection(("files.grouplens.org", 443), timeout=timeout).close()
+        return True
+    except OSError:
+        return False
+
+
+def _download_movielens(name: str, data_dir: str = "data") -> Optional[str]:
+    """Download + extract a MovieLens zip; returns the ratings.csv path."""
+    url, inner = MOVIELENS_URLS[name]
+    target = os.path.join(data_dir, name)
+    ratings = os.path.join(target, "ratings.csv")
+    if os.path.exists(ratings):
+        return ratings
+    if not _has_egress():
+        return None
+    import io
+    import urllib.request
+    import zipfile
+
+    os.makedirs(target, exist_ok=True)
+    print(f"# downloading {url} ...")
+    with urllib.request.urlopen(url) as resp:
+        buf = io.BytesIO(resp.read())
+    with zipfile.ZipFile(buf) as zf:
+        with zf.open(f"{inner}/ratings.csv") as src, open(ratings, "wb") as dst:
+            dst.write(src.read())
+    return ratings
+
+
+def _download_yambda(name: str, data_dir: str = "data") -> Optional[sp.csr_array]:
+    """Yambda from HuggingFace, binarized to 1s like the reference
+    (reference: tests/benchmarks/dataset_loaders.py:137-232)."""
+    if not _has_egress():
+        return None
+    try:
+        from huggingface_hub import hf_hub_download
+        import pyarrow.parquet as pq
+    except ImportError:
+        return None
+    path = hf_hub_download(
+        repo_id=_YAMBDA_REPO, filename=YAMBDA_FILES[name],
+        repo_type="dataset", local_dir=os.path.join(data_dir, name),
+    )
+    tbl = pq.read_table(path, columns=["uid", "item_id"])
+    uids = tbl["uid"].to_numpy()
+    iids = tbl["item_id"].to_numpy()
+    users, user_idx = np.unique(uids, return_inverse=True)
+    items, item_idx = np.unique(iids, return_inverse=True)
+    urm = sp.csr_array(
+        (np.ones(len(uids), np.float32), (user_idx, item_idx)),
+        shape=(len(users), len(items)),
+    )
+    urm.sum_duplicates()
+    urm.data[:] = 1.0  # binarized interactions
+    return urm
 
 # (n_users, n_items, nnz) of the datasets the reference benchmarks on
 DATASETS = {
@@ -70,6 +150,16 @@ def load_urm(
             f"unknown dataset '{name}'; known: {sorted(DATASETS)} "
             "(or pass --data-path)"
         )
+
+    if name in MOVIELENS_URLS:
+        csv = _download_movielens(name)
+        if csv is not None:
+            return _from_csv(csv), f"download:{name}"
+    if name in YAMBDA_FILES:
+        urm = _download_yambda(name)
+        if urm is not None:
+            return urm, f"download:{name}"
+
     n_users, n_items, nnz = DATASETS[name]
     urm = synthetic_urm(n_users=n_users, n_items=n_items, nnz=nnz, seed=seed)
-    return urm, f"synthetic:{name} (no-egress environment)"
+    return urm, f"synthetic:{name} (no network egress)"

@@ -71,6 +71,93 @@ def ndcg_and_recall_at(recs: sp.csr_array, test: sp.csr_array, n: int = 10):
     return float(np.mean(ndcgs)), float(np.mean(recalls))
 
 
+def tune_hyperparams(train, train_w, test, k: int, n_trials: int, seed: int = 3):
+    """Hyperparameter search for rp3beta (notebook cells 30-36).
+
+    Uses Optuna when installed (the notebook's tuner); otherwise an
+    equivalent seeded random search over the same space. Objective is
+    NDCG@10 on the held-out split.
+    """
+    def objective_params(alpha, beta):
+        W = sim.rp3beta(train.T, alpha=alpha, beta=beta, k=k, verbose=False)
+        recs = sim.dot_product(
+            train_w, W.T, k=10, filter_cols=train, verbose=False,
+            format_output="csr",
+        )
+        ndcg, _ = ndcg_and_recall_at(recs, test, n=10)
+        return ndcg
+
+    try:
+        import optuna
+
+        optuna.logging.set_verbosity(optuna.logging.WARNING)
+
+        def objective(trial):
+            return objective_params(
+                trial.suggest_float("alpha", 0.3, 1.5),
+                trial.suggest_float("beta", 0.0, 1.0),
+            )
+
+        study = optuna.create_study(
+            direction="maximize",
+            sampler=optuna.samplers.TPESampler(seed=seed),
+        )
+        study.optimize(objective, n_trials=n_trials)
+        best, best_ndcg = study.best_params, study.best_value
+        tuner = "optuna"
+    except ImportError:
+        rng = np.random.default_rng(seed)
+        best, best_ndcg = None, -1.0
+        for t in range(n_trials):
+            params = {
+                "alpha": float(rng.uniform(0.3, 1.5)),
+                "beta": float(rng.uniform(0.0, 1.0)),
+            }
+            ndcg = objective_params(**params)
+            print(f"  trial {t}: alpha={params['alpha']:.3f} "
+                  f"beta={params['beta']:.3f} -> NDCG@10 {ndcg:.4f}")
+            if ndcg > best_ndcg:
+                best, best_ndcg = params, ndcg
+        tuner = "random-search (optuna not installed)"
+    print(f"tuning [{tuner}]: best NDCG@10 {best_ndcg:.4f} with {best}")
+    return best
+
+
+def visualize_item_space(train_w, W, out_path: str, seed: int = 5):
+    """2-D item-embedding map (notebook cells 38-42).
+
+    The notebook projects item vectors with UMAP; here the embedding is a
+    truncated SVD of the BM25-weighted item x user matrix (available in
+    every SciPy install), colored by item popularity, with the learned
+    similarity's strongest edges drawn on top.
+    """
+    from scipy.sparse.linalg import svds
+
+    item_user = train_w.T.tocsr().astype(np.float64)
+    u, s, _ = svds(item_user, k=2, random_state=np.random.default_rng(seed))
+    xy = u * s  # (n_items, 2)
+    pop = np.asarray((train_w != 0).sum(axis=0)).ravel()
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(8, 6))
+    sc = ax.scatter(xy[:, 0], xy[:, 1], c=np.log1p(pop), s=4, cmap="viridis")
+    Wc = W.tocoo()
+    if Wc.nnz:
+        strongest = np.argsort(-Wc.data)[:300]
+        for e in strongest:
+            a, b = Wc.coords[0][e], Wc.coords[1][e]
+            ax.plot(xy[[a, b], 0], xy[[a, b], 1], lw=0.2, c="gray", alpha=0.3)
+    fig.colorbar(sc, label="log(1+popularity)")
+    ax.set_title("item space (truncated-SVD projection, top similarity edges)")
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    print(f"item-space map written to {out_path}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--users", type=int, default=20_000)
@@ -79,6 +166,10 @@ def main(argv=None):
     p.add_argument("--k", type=int, default=100, help="similarity neighbors")
     p.add_argument("--model", default="rp3beta",
                    choices=["cosine", "asymmetric_cosine", "rp3beta", "s_plus"])
+    p.add_argument("--tune", type=int, default=0, metavar="N",
+                   help="run N hyperparameter-tuning trials (rp3beta)")
+    p.add_argument("--viz", default=None, metavar="PNG",
+                   help="write a 2-D item-space visualization here")
     args = p.parse_args(argv)
 
     print(f"building synthetic URM ({args.users}x{args.items}, nnz={args.nnz})...")
@@ -121,6 +212,20 @@ def main(argv=None):
 
     ndcg, recall = ndcg_and_recall_at(recs, test, n=10)
     print(f"NDCG@10 = {ndcg:.4f}   recall@10 = {recall:.4f}")
+
+    if args.tune:
+        print(f"tuning rp3beta ({args.tune} trials)...")
+        best = tune_hyperparams(train, train_w, test, args.k, args.tune)
+        W = sim.rp3beta(train.T, k=args.k, verbose=False, **best)
+        recs = sim.dot_product(
+            train_w, W.T, k=10, filter_cols=train, verbose=False,
+            format_output="csr",
+        )
+        ndcg, recall = ndcg_and_recall_at(recs, test, n=10)
+        print(f"tuned:  NDCG@10 = {ndcg:.4f}   recall@10 = {recall:.4f}")
+
+    if args.viz:
+        visualize_item_space(train_w, W, args.viz)
     return 0
 
 

@@ -171,9 +171,16 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _pad_bucket(n: int, minimum: int = 1024) -> int:
-    """Round sizes to coarse buckets to bound jit recompilations."""
+    """Round sizes to coarse buckets to bound jit recompilations.
+
+    Eighth-octave buckets (next multiple of 2^(log2(n)-3)): at most 8
+    distinct shapes per power of two and <= 12.5% padding — the padding
+    is real scatter work, and the old power-of-two buckets averaged ~50%
+    waste on the 6 s/call m1 panel scatter.
+    """
     n = max(n, minimum)
-    return 1 << max(n - 1, 1).bit_length()
+    step = 1 << max(n.bit_length() - 4, 0)
+    return ((n + step - 1) // step) * step
 
 
 # ---------------------------------------------------------------------------
@@ -191,8 +198,12 @@ def compute_cast(compute_dtype: str):
     """
     if compute_dtype == "bfloat16":
         return jnp.bfloat16, jnp.float32
-    if compute_dtype == "int8":
+    if compute_dtype in ("int8", "int4"):
         return jnp.int8, jnp.int32
+    if compute_dtype == "int4":
+        # 2x the int8 MXU rate; |v| <= 7 (binary/small-count data).
+        # TPU-only: the CPU/GPU XLA backends reject sub-byte matmuls.
+        return jnp.int4, jnp.int32
     return jnp.float32, jnp.float32
 
 
@@ -204,7 +215,7 @@ def densify(shape, rows, cols, vals, cdt):
     bfloat16 represents the |v| <= 127 integers of the int8 path exactly.
     Out-of-range (sentinel-padded) indices are dropped.
     """
-    sdt = jnp.bfloat16 if cdt == jnp.int8 else cdt
+    sdt = jnp.bfloat16 if cdt in (jnp.int8, jnp.int4) else cdt
     d = (
         jnp.zeros(shape, sdt)
         .at[rows, cols]
@@ -265,7 +276,7 @@ def panel_forward(
         topk_vals, topk_idx = carry
         d = densify((u_pad, tc), xs["m2_rows"], xs["m2_cols"], xs["m2_vals"], cdt)
         xy = jnp.dot(m1_dense, d, preferred_element_type=acc, precision=prec)
-        if compute_dtype == "int8":
+        if compute_dtype in ("int8", "int4"):
             xy = xy.astype(jnp.float32) * inv_scale
 
         candidate = xy != 0.0
@@ -409,7 +420,7 @@ def _run_group_panels(
                     tmask=tmask.astype(jnp.uint8) if tmask is not None else None,
                     flags=flags,
                     k_pad=k_pad,
-                    int8_mode=compute_dtype == "int8",
+                    int8_mode=compute_dtype in ("int8", "int4"),
                     precision=prec,
                     interpret=jax.default_backend() != "tpu",
                 )
@@ -421,7 +432,7 @@ def _run_group_panels(
                 return (new_vals, new_idx), None
 
             xy = jnp.dot(m1_dense, d, preferred_element_type=acc, precision=prec)
-            if compute_dtype == "int8":
+            if compute_dtype in ("int8", "int4"):
                 xy = xy.astype(jnp.float32) * pvec[9]
             candidate = xy != 0.0
             if has_allowed:
@@ -695,6 +706,13 @@ def resolve_compute_dtype(requested: str, pre: Preprocessed) -> tuple[str, float
                 "after a power-of-two scaling; use 'auto' to fall back safely"
             )
         return "int8", 1.0 / (s1 * s2)
+    if requested == "int4":
+        if s1 is None or s2 is None:
+            raise ValueError(
+                "compute_dtype='int4' requires integerizable data with "
+                "|v| <= 7 after scaling (binary/small-count matrices)"
+            )
+        return "int4", 1.0 / (s1 * s2)
     if requested != "auto":
         return requested, 1.0
     if s1 is None or s2 is None:
@@ -709,6 +727,16 @@ def resolve_compute_dtype(requested: str, pre: Preprocessed) -> tuple[str, float
     overlap = min(max_row_nnz1, max_col_nnz2)
     if maxv1 * maxv2 * max(overlap, 1) >= 2.0**30:
         return "float32", 1.0
+    # int4 at 2x the int8 MXU rate when values fit a nibble — binary set
+    # similarities (jaccard/dice/tversky) and small counts. TPU-only and
+    # opt-in (SIMILARIPY_TPU_INT4=1) until validated per-hardware.
+    if (
+        os.environ.get("SIMILARIPY_TPU_INT4") == "1"
+        and maxv1 <= 7.0
+        and maxv2 <= 7.0
+        and jax.default_backend() == "tpu"
+    ):
+        return "int4", 1.0 / (s1 * s2)
     return "int8", 1.0 / (s1 * s2)
 
 
@@ -755,8 +783,19 @@ def execute(
             np.zeros((T, max(k, 1)), np.int32),
         )
 
+    from .compact import compact_eligible, execute_compact
+
+    if compact_eligible(pre, k):
+        return execute_compact(
+            pre, params,
+            compute_dtype=compute_dtype,
+            precision=precision,
+            budget_bytes=budget_bytes,
+            progress=progress,
+        )
+
     compute_dtype, inv_scale = resolve_compute_dtype(compute_dtype, pre)
-    itemsize = {"bfloat16": 2, "int8": 3}.get(compute_dtype, 4)  # int8 scatters via bf16
+    itemsize = {"bfloat16": 2, "int8": 3, "int4": 3}.get(compute_dtype, 4)  # int8 scatters via bf16
     plan = plan_tiles(T, U, C, k, itemsize, block_size_hint, budget_bytes)
     trp, tc, u_pad = plan.panel_rows, plan.tile_cols, plan.u_pad
     n_tiles = plan.n_tiles
@@ -776,16 +815,21 @@ def execute(
         u_pad = _round_up(u_pad, KB)
         k_pad = _round_up(min(k, tc), 8)
         n_tiles = math.ceil(C / tc)
-        if k_pad > 512:
-            use_pallas = False  # extraction loop too deep; XLA path instead
+        if k_pad > 1024:
+            # Very large k: the in-kernel iterative extraction costs one
+            # max/argmax pass per kept value, so beyond ~1024 the XLA
+            # sort-based top_k wins. Both paths are exact for any k (the
+            # reference's heap is k-agnostic, s_plus.h:39-64); this is a
+            # documented performance cutover, not a capability cliff.
+            use_pallas = False
             k_pad = k
 
     # group size: how many dense (u_pad x tc) tiles fit in HBM next to the
     # panel working set; every group is densified exactly once
     budget = budget_bytes if budget_bytes is not None else hbm_budget_bytes()
-    dense_item = {"bfloat16": 2, "int8": 1}.get(compute_dtype, 4)
+    dense_item = {"bfloat16": 2, "int8": 1, "int4": 1}.get(compute_dtype, 4)
     tile_bytes = u_pad * tc * dense_item
-    m1_bytes = trp * u_pad * (dense_item + (2 if compute_dtype == "int8" else 0))
+    m1_bytes = trp * u_pad * (dense_item + (2 if compute_dtype in ("int8", "int4") else 0))
     # reserve: panel working set + cached COO uploads (~12B/nnz + padding)
     reserve = (
         m1_bytes
@@ -814,7 +858,7 @@ def execute(
     cached = _cache_get(m2_key)
     if cached is None:
         m2_csc = m2.tocsc()
-        if compute_dtype == "int8":
+        if compute_dtype in ("int8", "int4"):
             # exact integerization; f32->int8 casts on device are lossless
             m2_csc.data = np.rint(m2_csc.data * pre.qscale2).astype(np.float32)
         col_nnz = np.diff(m2_csc.indptr)
@@ -874,7 +918,7 @@ def execute(
     cached = _cache_get(m1_key)
     if cached is None:
         m1_t = m1[targets]
-        if compute_dtype == "int8":
+        if compute_dtype in ("int8", "int4"):
             m1_t.data = np.rint(m1_t.data * pre.qscale1).astype(np.float32)
         # balance panel nnz: deal target rows round-robin by nnz rank so
         # every panel's padded COO bucket sits near the mean instead of
@@ -1021,14 +1065,18 @@ def execute(
             precision=precision,
             use_pallas=use_pallas,
         )
-        if progress is not None and g == n_groups - 1:
-            progress.update(T)
         # barrier before the next group: dispatch is async, and without it
         # the next group's dense tile stack stays live while later work
         # queues behind it (2x-3x HBM -> OOM). block_until_ready is not
         # reliable through tunneled backends, so force a tiny readback.
         if n_groups > 1 or timing:
             np.asarray(carry_v[:1, :1, :1])
+        if progress is not None:
+            # per-group ticks (post-barrier, so the bar tracks real device
+            # completion rather than async dispatch)
+            done = T if g == n_groups - 1 else (T * (g + 1)) // n_groups
+            prev = (T * g) // n_groups
+            progress.update(done - prev)
         if timing:
             _lap(f"group {g} panels x{n_panels}")
         del d_stack

@@ -164,6 +164,235 @@ def _kernel(
         jax.lax.fori_loop(0, k_pad, body, val)
 
 
+def _panel_kernel(
+    pvec_ref,  # SMEM (1, 16): a1 l1 l2 l3 t1 t2 stab bayes thr inv_scale col_base
+    a_ref,  # (TM, KB) cdt — compact lhs block
+    d_ref,  # (KB, TC) cdt — compact rhs block
+    xt_ref,  # (TM, 1) f32
+    xc_ref,
+    xd_ref,
+    yt_ref,  # (1, TC) f32
+    yc_ref,
+    yd_ref,
+    *rest,  # optional [bias(TM,TC) acc] [allowed(1,TC) u8] [fmask(TM,TC) u8]
+    # [tmask(TM,TC) u8], then outputs vals(1,k_pad,TM), idx(1,k_pad,TM),
+    # scratch xy(TM,TC)
+    flags: tuple,
+    has_bias: bool,
+    has_allowed: bool,
+    has_filter: bool,
+    has_target: bool,
+    int8_mode: bool,
+    prec,
+    k_pad: int,
+    tm: int,
+    tc: int,
+):
+    """Union-compacted panel kernel: one (TM-row panel x column tile) with a
+    K-blocked compact inner dimension and an optional precomputed partial-
+    scores bias (the hot-prefix matmul's int32/f32 output) folded in before
+    the epilogue. Grid = (n_tiles, K/KB); K innermost."""
+    it = iter(rest)
+    bias_ref = next(it) if has_bias else None
+    allowed_ref = next(it) if has_allowed else None
+    fmask_ref = next(it) if has_filter else None
+    tmask_ref = next(it) if has_target else None
+    vals_ref = next(it)
+    idx_ref = next(it)
+    xy_ref = next(it)
+
+    t = pl.program_id(0)
+    kk = pl.program_id(1)
+    n_k = pl.num_programs(1)
+
+    @pl.when(kk == 0)
+    def _():
+        if has_bias:
+            xy_ref[:] = bias_ref[:]
+        else:
+            xy_ref[:] = jnp.zeros_like(xy_ref)
+
+    if int8_mode:
+        xy_ref[:] += jnp.dot(a_ref[:], d_ref[:], preferred_element_type=jnp.int32)
+    elif a_ref.dtype == jnp.bfloat16:
+        xy_ref[:] += jnp.dot(a_ref[:], d_ref[:], preferred_element_type=jnp.float32)
+    else:
+        xy_ref[:] += jnp.dot(
+            a_ref[:], d_ref[:], preferred_element_type=jnp.float32, precision=prec
+        )
+
+    @pl.when(kk == n_k - 1)
+    def _():
+        use_l1, use_l2, use_l3, use_pow, use_bayes, use_denominator = flags
+        a1 = pvec_ref[0, 0]
+        l1 = pvec_ref[0, 1]
+        l2 = pvec_ref[0, 2]
+        l3 = pvec_ref[0, 3]
+        t1 = pvec_ref[0, 4]
+        t2 = pvec_ref[0, 5]
+        stab = pvec_ref[0, 6]
+        bayes = pvec_ref[0, 7]
+        threshold = pvec_ref[0, 8]
+        inv_scale = pvec_ref[0, 9]
+        col_base = pvec_ref[0, 10].astype(jnp.int32) + t * tc
+
+        xy = xy_ref[:].astype(jnp.float32)
+        if int8_mode:
+            xy = xy * inv_scale
+
+        candidate = xy != 0.0
+        if has_allowed:
+            candidate = jnp.logical_and(
+                candidate, allowed_ref[:].astype(jnp.int32) != 0
+            )
+        if has_filter:
+            candidate = jnp.logical_and(
+                candidate, fmask_ref[:].astype(jnp.int32) == 0
+            )
+        if has_target:
+            candidate = jnp.logical_and(
+                candidate, tmask_ref[:].astype(jnp.int32) != 0
+            )
+
+        xy_p = jnp.power(xy, a1) if use_pow else xy
+        if use_denominator:
+            denom = jnp.full_like(xy, stab)
+            if use_l1:
+                denom = denom + l1 * (
+                    t1 * (xt_ref[:] - xy) + t2 * (yt_ref[:] - xy) + xy
+                )
+            if use_l2:
+                denom = denom + l2 * (xc_ref[:] * yc_ref[:])
+            if use_l3:
+                denom = denom + l3 * (xd_ref[:] * yd_ref[:])
+            val = jnp.where(denom != 0.0, xy_p / denom, 0.0)
+            if use_bayes:
+                val = val * (xy_p / (xy_p + bayes))
+        else:
+            val = xy
+
+        keep = jnp.logical_and(candidate, val >= threshold)
+        val = jnp.where(keep, val, NEG_INF)
+
+        cols = jax.lax.broadcasted_iota(jnp.int32, (tm, tc), 1)
+
+        def body(i, v):
+            m = jnp.max(v, axis=1)
+            am = jnp.argmax(v, axis=1).astype(jnp.int32)
+            vals_ref[0, pl.ds(i, 1), :] = m[None, :]
+            idx_ref[0, pl.ds(i, 1), :] = (am + col_base)[None, :]
+            return jnp.where(cols == am[:, None], NEG_INF, v)
+
+        jax.lax.fori_loop(0, k_pad, body, val)
+
+
+def fused_panel_topk(
+    a,  # (TM, K) cdt — compact panel lhs
+    d,  # (K, Cg) cdt — compact rhs (hot prefix excluded; gathered cold rows)
+    x_t,  # (TM,) f32
+    x_c,
+    x_d,
+    y_t,  # (Cg,) f32
+    y_c,
+    y_d,
+    pvec_ext,  # (16,) f32 — build_pvec + group col offset at [10]
+    bias=None,  # (TM, Cg) int32/f32 — hot-prefix partial scores
+    allowed=None,  # (Cg,) uint8
+    fmask=None,  # (TM, Cg) uint8, 1 = filtered out
+    tmask=None,  # (TM, Cg) uint8, 1 = allowed target
+    *,
+    flags: tuple,
+    k_pad: int,
+    tc: int,
+    int8_mode: bool,
+    precision,
+    interpret: bool = False,
+):
+    """Per-tile top-k over a group's full column width with a compact inner
+    dim. Returns (vals, idx) of shape (n_tiles, k_pad, TM); ids are global
+    via pvec_ext[10] + tile offset."""
+    tm, K = a.shape
+    cg = d.shape[1]
+    assert tm == TM and K % KB == 0 and cg % tc == 0, (tm, K, cg, tc)
+    n_tiles = cg // tc
+
+    if precision == jax.lax.Precision.HIGH:
+        precision = jax.lax.Precision.HIGHEST
+
+    grid = (n_tiles, K // KB)
+    acc_dtype = jnp.int32 if int8_mode else jnp.float32
+
+    in_specs = [
+        pl.BlockSpec((TM, KB), lambda t, kk: (0, kk)),
+        pl.BlockSpec((KB, tc), lambda t, kk: (kk, t)),
+    ]
+    in_specs += [pl.BlockSpec((TM, 1), lambda t, kk: (0, 0))] * 3
+    in_specs += [pl.BlockSpec((1, tc), lambda t, kk: (0, t))] * 3
+
+    args = [
+        a,
+        d,
+        x_t.reshape(tm, 1),
+        x_c.reshape(tm, 1),
+        x_d.reshape(tm, 1),
+        y_t.reshape(1, cg),
+        y_c.reshape(1, cg),
+        y_d.reshape(1, cg),
+    ]
+    if bias is not None:
+        in_specs.append(pl.BlockSpec((TM, tc), lambda t, kk: (0, t)))
+        args.append(bias)
+    if allowed is not None:
+        in_specs.append(pl.BlockSpec((1, tc), lambda t, kk: (0, t)))
+        args.append(allowed.reshape(1, cg))
+    if fmask is not None:
+        in_specs.append(pl.BlockSpec((TM, tc), lambda t, kk: (0, t)))
+        args.append(fmask)
+    if tmask is not None:
+        in_specs.append(pl.BlockSpec((TM, tc), lambda t, kk: (0, t)))
+        args.append(tmask)
+
+    kernel = partial(
+        _panel_kernel,
+        flags=flags,
+        has_bias=bias is not None,
+        has_allowed=allowed is not None,
+        has_filter=fmask is not None,
+        has_target=tmask is not None,
+        int8_mode=int8_mode,
+        prec=precision,
+        k_pad=k_pad,
+        tm=TM,
+        tc=tc,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, 16), lambda t, kk: (0, 0), memory_space=pltpu.SMEM)]
+        + in_specs,
+        out_specs=[
+            pl.BlockSpec((1, k_pad, TM), lambda t, kk: (t, 0, 0)),
+            pl.BlockSpec((1, k_pad, TM), lambda t, kk: (t, 0, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((TM, tc), acc_dtype)],
+    )
+
+    vals, idx = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, k_pad, TM), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, k_pad, TM), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(pvec_ext.reshape(1, 16), *args)
+    return vals, idx
+
+
 def fused_tile_topk(
     m1_dense,  # (trp, u_pad) cdt
     d,  # (u_pad, tc) cdt

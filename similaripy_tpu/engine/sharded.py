@@ -24,6 +24,7 @@ sharded along 'cols' and replicated along 'rows'.
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import Optional
 
@@ -140,7 +141,7 @@ def _run_sharded_panel(
             topk_vals, topk_idx = carry
             d = densify((u_pad, tc), xs["m2_rows"], xs["m2_cols"], xs["m2_vals"], cdt)
             xy = jnp.dot(m1_dense, d, preferred_element_type=acc, precision=prec)
-            if compute_dtype == "int8":
+            if compute_dtype in ("int8", "int4"):
                 xy = xy.astype(jnp.float32) * pvec[9]
 
             candidate = xy != 0.0
@@ -211,6 +212,417 @@ def _run_sharded_panel(
     return out
 
 
+# ---------------------------------------------------------------------------
+# Grouped + fused-kernel sharded path (round 2 unification)
+# ---------------------------------------------------------------------------
+#
+# Mirrors the single-device grouped executor: matrix2 tiles are densified
+# ONCE into device-resident (cached) d_stacks sharded over 'cols', panels
+# of target rows stream over the resident tiles inside shard_map with the
+# fused Pallas kernel, and each col-shard keeps a local top-K that is
+# all_gather-merged once at the end. The old scan-over-tiles path below
+# remains for MATRIX-mode selectors.
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "flags", "k", "k_pad", "trp", "u_pad", "tc",
+        "has_allowed", "compute_dtype", "precision", "use_pallas",
+    ),
+    donate_argnums=(9, 10),
+)
+def _run_sharded_group(
+    m1_rows,  # (R_sh, p1) int32, P('rows')
+    m1_cols,
+    m1_vals,
+    x_t,  # (R_sh, trp) f32, P('rows')
+    x_c,
+    x_d,
+    d_stack,  # (L_total, u_pad, tc) cdt, P('cols') on axis 0
+    tiles,  # dict of (L_total, ...) arrays, P('cols') on axis 0
+    pvec,  # (10,) replicated
+    carry_vals,  # (R_sh, C_sh, trp, k) P('rows','cols'), donated
+    carry_idx,
+    *,
+    mesh: Mesh,
+    flags: tuple,
+    k: int,
+    k_pad: int,
+    trp: int,
+    u_pad: int,
+    tc: int,
+    has_allowed: bool,
+    compute_dtype: str,
+    precision: str,
+    use_pallas: bool,
+):
+    """One panel batch x one resident tile group, all shards at once."""
+    cdt, acc = compute_cast(compute_dtype)
+    prec = {
+        "default": jax.lax.Precision.DEFAULT,
+        "high": jax.lax.Precision.HIGH,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[precision]
+    has_cols_axis = "cols" in mesh.axis_names
+
+    def block_fn(m1_rows, m1_cols, m1_vals, x_t, x_c, x_d,
+                 d_stack, tiles, pvec, carry_vals, carry_idx):
+        m1_rows, m1_cols, m1_vals = m1_rows[0], m1_cols[0], m1_vals[0]
+        x_t, x_c, x_d = x_t[0], x_c[0], x_d[0]
+        cv, ci = carry_vals[0, 0], carry_idx[0, 0]
+
+        m1_dense = densify((trp, u_pad), m1_rows, m1_cols, m1_vals, cdt)
+
+        def tile_step(carry, xs):
+            topk_vals, topk_idx = carry
+            d = xs["d"]
+            if use_pallas:
+                from .pallas_kernels import fused_tile_topk
+
+                pvec_ext = jnp.concatenate(
+                    [pvec, xs["col_offset"][0].astype(jnp.float32).reshape(1),
+                     jnp.zeros(5, jnp.float32)]
+                )
+                vals_t, idx_t = fused_tile_topk(
+                    m1_dense, d,
+                    x_t, x_c, x_d,
+                    xs["y_t"], xs["y_c"], xs["y_d"],
+                    pvec_ext,
+                    allowed=(xs["allowed"].astype(jnp.uint8)
+                             if has_allowed else None),
+                    fmask=None, tmask=None,
+                    flags=flags, k_pad=k_pad,
+                    int8_mode=compute_dtype in ("int8", "int4"),
+                    precision=prec,
+                    interpret=jax.default_backend() != "tpu",
+                )
+                cand_vals, cand_idx = vals_t.T, idx_t.T
+                all_v = jnp.concatenate([topk_vals, cand_vals], axis=1)
+                all_i = jnp.concatenate([topk_idx, cand_idx], axis=1)
+                new_v, pos = jax.lax.top_k(all_v, k)
+                new_i = jnp.take_along_axis(all_i, pos, axis=1)
+                return (new_v, new_i), None
+
+            xy = jnp.dot(m1_dense, d, preferred_element_type=acc,
+                         precision=prec)
+            if compute_dtype in ("int8", "int4"):
+                xy = xy.astype(jnp.float32) * pvec[9]
+            candidate = xy != 0.0
+            if has_allowed:
+                candidate = jnp.logical_and(candidate, xs["allowed"][None, :])
+            val = splus_epilogue(
+                xy, candidate, x_t, x_c, x_d,
+                xs["y_t"], xs["y_c"], xs["y_d"], pvec, flags,
+            )
+            col_ids = xs["col_offset"] + jax.lax.broadcasted_iota(
+                jnp.int32, (1, tc), 1
+            )
+            new_v, new_i = topk_merge(topk_vals, topk_idx, val, col_ids, k)
+            return (new_v, new_i), None
+
+        xs = dict(tiles)
+        xs["d"] = d_stack
+        (vals, idx), _ = jax.lax.scan(tile_step, (cv, ci), xs)
+        return vals[None, None], idx[None, None]
+
+    col_ax = "cols" if has_cols_axis else None
+    tile_specs = {
+        k2: P(col_ax, *([None] * (v.ndim - 1))) for k2, v in tiles.items()
+    }
+    return jax.shard_map(
+        block_fn,
+        mesh=mesh,
+        in_specs=(
+            P("rows", None), P("rows", None), P("rows", None),
+            P("rows", None), P("rows", None), P("rows", None),
+            P(col_ax, None, None),
+            tile_specs,
+            P(),
+            P("rows", col_ax, None, None),
+            P("rows", col_ax, None, None),
+        ),
+        out_specs=(
+            P("rows", col_ax, None, None),
+            P("rows", col_ax, None, None),
+        ),
+        check_vma=False,
+    )(m1_rows, m1_cols, m1_vals, x_t, x_c, x_d,
+      d_stack, tiles, pvec, carry_vals, carry_idx)
+
+
+@partial(jax.jit, static_argnames=("mesh", "k"))
+def _merge_cols(carry_vals, carry_idx, *, mesh: Mesh, k: int):
+    """Final distributed top-K merge: gather every col-shard's local k and
+    re-select (the distributed replacement for the reference's per-thread
+    heap drain, s_plus.h:39-64)."""
+    has_cols = "cols" in mesh.axis_names
+
+    def block_fn(cv, ci):
+        v, i = cv[0, 0], ci[0, 0]
+        if has_cols:
+            av = jax.lax.all_gather(v, "cols", axis=1, tiled=True)
+            ai = jax.lax.all_gather(i, "cols", axis=1, tiled=True)
+            v, pos = jax.lax.top_k(av, k)
+            i = jnp.take_along_axis(ai, pos, axis=1)
+        return v[None], i[None]
+
+    col_ax = "cols" if has_cols else None
+    return jax.shard_map(
+        block_fn,
+        mesh=mesh,
+        in_specs=(P("rows", col_ax, None, None), P("rows", col_ax, None, None)),
+        out_specs=(P("rows", None, None), P("rows", None, None)),
+        check_vma=False,
+    )(carry_vals, carry_idx)
+
+
+def _execute_sharded_grouped(
+    pre: Preprocessed,
+    params: SPlusParams,
+    *,
+    mesh: Mesh,
+    compute_dtype: str,
+    precision: str,
+    budget_bytes: Optional[int],
+    progress=None,
+):
+    """Grouped + fused-kernel sharded execution (no MATRIX selectors)."""
+    import math as _math
+
+    from jax.sharding import NamedSharding
+
+    from .executor import (
+        _cache_get, _cache_put, _fingerprint, _pallas_enabled,
+        _stack_m2_tiles_balanced, _vec_by_map, balance_columns,
+    )
+    from .pallas_kernels import DEFAULT_TC, KB, TM
+
+    m1, m2, targets, k = pre.m1, pre.m2, pre.targets, pre.k
+    T = targets.shape[0]
+    U = m1.shape[1]
+    C = pre.n_output_cols
+    R_sh, C_sh = _mesh_axis_sizes(mesh)
+
+    compute_dtype, inv_scale = resolve_compute_dtype(compute_dtype, pre)
+    use_pallas = _pallas_enabled()
+    u_pad = max(_round_up(U, KB), KB)
+    tc = DEFAULT_TC if compute_dtype != "float32" else DEFAULT_TC // 2
+    tc = min(tc, _round_up(C, 128))
+    k_pad = _round_up(min(k, tc), 8)
+    if k_pad > 1024:
+        use_pallas = False  # same documented cutover as the executor
+
+    # tiles: balanced columns, grouped so every shard holds G tiles per
+    # group resident; group axis leads so slicing keeps the 'cols' shard
+    budget = budget_bytes if budget_bytes is not None else hbm_budget_bytes()
+    dense_item = {"bfloat16": 2, "int8": 1, "int4": 1}.get(compute_dtype, 4)
+    tile_bytes = u_pad * tc * dense_item
+    per_dev_avail = int(budget * 0.8) - (1 << 29)
+    g_tiles = max(1, per_dev_avail // max(tile_bytes, 1))
+    n_tiles_min = _math.ceil(C / tc)
+    # per-shard tile count, then groups of at most g_tiles per shard
+    l_shard = _math.ceil(n_tiles_min / C_sh)
+    n_groups = max(1, _math.ceil(l_shard / g_tiles))
+    L = _math.ceil(l_shard / n_groups)  # tiles per (shard, group)
+    n_tiles = C_sh * n_groups * L
+
+    trp = min(
+        max(_round_up(_math.ceil(T / R_sh), TM), TM),
+        2048,
+    )
+
+    m2_key = (
+        "sh_m2",
+        _fingerprint(m2.indptr, m2.indices, m2.data,
+                     pre.Yt, pre.Yc, pre.Yd, pre.col_allowed),
+        compute_dtype, tc, n_tiles, u_pad, mesh,
+    )
+    cached = _cache_get(m2_key)
+    if cached is None:
+        m2_csc = m2.tocsc()
+        if compute_dtype in ("int8", "int4"):
+            m2_csc.data = np.rint(m2_csc.data * pre.qscale2).astype(np.float32)
+        col_nnz = np.diff(m2_csc.indptr)
+        tile_lists, col_map = balance_columns(col_nnz, n_tiles, tc)
+        t_rows, t_cols, t_vals = _stack_m2_tiles_balanced(
+            m2_csc, tile_lists, tc, u_pad
+        )
+        yt = _vec_by_map(pre.Yt, col_map, C).reshape(n_tiles, tc)
+        yc = _vec_by_map(pre.Yc, col_map, C).reshape(n_tiles, tc)
+        yd = _vec_by_map(pre.Yd, col_map, C).reshape(n_tiles, tc)
+        col_offsets = (np.arange(n_tiles, dtype=np.int32) * tc).reshape(
+            n_tiles, 1
+        )
+
+        # device layout: (n_groups, C_sh*L, ...) with tiles interleaved so
+        # shard c's tiles are [c*n_groups*L ... ) split across groups —
+        # i.e. tile (g, c*L + j) = flat tile c*(n_groups*L) + g*L + j
+        def to_dev(a):
+            a = np.asarray(a)
+            a2 = a.reshape(C_sh, n_groups, L, *a.shape[1:])
+            a2 = np.moveaxis(a2, 1, 0).reshape(
+                n_groups, C_sh * L, *a.shape[1:]
+            )
+            return a2
+
+        sharding = NamedSharding(
+            mesh,
+            P(None, "cols" if "cols" in mesh.axis_names else None,
+              *([None] * 1)),
+        )
+        tiles_np = {
+            "m2_rows": to_dev(t_rows),
+            "m2_cols": to_dev(t_cols),
+            "m2_vals": to_dev(t_vals),
+            "y_t": to_dev(yt),
+            "y_c": to_dev(yc),
+            "y_d": to_dev(yd),
+            "col_offset": to_dev(col_offsets),
+        }
+        if pre.col_allowed is not None:
+            allowed = np.zeros(col_map.shape[0], dtype=bool)
+            used = col_map < C
+            allowed[used] = pre.col_allowed[col_map[used]]
+            tiles_np["allowed"] = to_dev(allowed.reshape(n_tiles, tc))
+        tiles_dev = {
+            k2: jax.device_put(v, sharding) for k2, v in tiles_np.items()
+        }
+        # flat index of tile (g, s*L+j) in the balanced layout, for
+        # un-permuting: col_offset already carries the flat position
+        _cache_put(m2_key, (tiles_dev, col_map))
+    else:
+        tiles_dev, col_map = cached
+    has_allowed = "allowed" in tiles_dev
+
+    pvec = jnp.asarray(build_pvec(params, inv_scale))
+    xt_full, xc_full, xd_full = pre.Xt, pre.Xc, pre.Xd
+    row_sharding = NamedSharding(mesh, P("rows", None))
+    col_ax = "cols" if "cols" in mesh.axis_names else None
+    carry_sharding = NamedSharding(mesh, P("rows", col_ax, None, None))
+
+    # m1: nnz-balanced panels dealt over (batch, row-shard) slots, staged
+    # to device once and cached across calls
+    rows_per_call = R_sh * trp
+    n_batches = max(_math.ceil(T / rows_per_call), 1)
+    m1_key = (
+        "sh_m1",
+        _fingerprint(m1.indptr, m1.indices, m1.data, targets,
+                     xt_full, xc_full, xd_full),
+        compute_dtype, trp, mesh,
+    )
+    cached = _cache_get(m1_key)
+    if cached is None:
+        m1_t = m1[targets]
+        if compute_dtype in ("int8", "int4"):
+            m1_t.data = np.rint(m1_t.data * pre.qscale1).astype(np.float32)
+        n_slots = n_batches * R_sh
+        row_nnz = np.diff(m1_t.indptr)
+        order = np.argsort(-row_nnz, kind="stable")
+        slot_sel = [order[s::n_slots] for s in range(n_slots)]
+        p1 = _pad_bucket(max(int(row_nnz[sel].sum()) for sel in slot_sel))
+        batch_args = []
+        batch_sels = []
+        for b in range(n_batches):
+            pr = np.full((R_sh, p1), trp, np.int32)
+            pc = np.zeros((R_sh, p1), np.int32)
+            pv = np.zeros((R_sh, p1), np.float32)
+            sx_t = np.ones((R_sh, trp), np.float32)
+            sx_c = np.ones((R_sh, trp), np.float32)
+            sx_d = np.ones((R_sh, trp), np.float32)
+            sels = []
+            for r in range(R_sh):
+                sel = slot_sel[b * R_sh + r]
+                sels.append(sel)
+                panel = m1_t[sel]
+                nnz = panel.data.shape[0]
+                if nnz:
+                    pr[r, :nnz] = np.repeat(
+                        np.arange(sel.shape[0], dtype=np.int32),
+                        np.diff(panel.indptr),
+                    )
+                    pc[r, :nnz] = panel.indices
+                    pv[r, :nnz] = panel.data
+                tgt_ids = targets[sel]
+                n_here = sel.shape[0]
+                if xt_full is not None:
+                    sx_t[r, :n_here] = xt_full[tgt_ids]
+                if xc_full is not None:
+                    sx_c[r, :n_here] = xc_full[tgt_ids]
+                if xd_full is not None:
+                    sx_d[r, :n_here] = xd_full[tgt_ids]
+            batch_args.append(tuple(
+                jax.device_put(a, row_sharding)
+                for a in (pr, pc, pv, sx_t, sx_c, sx_d)
+            ))
+            batch_sels.append(sels)
+        _cache_put(m1_key, (batch_args, batch_sels))
+    else:
+        batch_args, batch_sels = cached
+
+    # carries per batch, local per (row, col) shard; group-outer loop so
+    # only ONE group's dense tile stack is resident at a time
+    carries = [
+        (
+            jax.device_put(
+                np.full((R_sh, C_sh, trp, k), NEG_INF, np.float32),
+                carry_sharding,
+            ),
+            jax.device_put(
+                np.zeros((R_sh, C_sh, trp, k), np.int32), carry_sharding
+            ),
+        )
+        for _ in range(n_batches)
+    ]
+
+    from .executor import _densify_group
+
+    for g in range(n_groups):
+        d_stack = _densify_group(
+            tiles_dev["m2_rows"][g],
+            tiles_dev["m2_cols"][g],
+            tiles_dev["m2_vals"][g],
+            u_pad=u_pad, tc=tc, compute_dtype=compute_dtype,
+        )
+        tiles_g = {
+            k2: v[g]
+            for k2, v in tiles_dev.items()
+            if k2 not in ("m2_rows", "m2_cols", "m2_vals")
+        }
+        for b in range(n_batches):
+            cv, ci = carries[b]
+            carries[b] = _run_sharded_group(
+                *batch_args[b], d_stack, tiles_g, pvec, cv, ci,
+                mesh=mesh, flags=params.static_flags(),
+                k=k, k_pad=k_pad, trp=trp, u_pad=u_pad, tc=tc,
+                has_allowed=has_allowed,
+                compute_dtype=compute_dtype, precision=precision,
+                use_pallas=use_pallas,
+            )
+        if n_groups > 1:
+            # barrier: don't queue the next group's densify behind all of
+            # this group's work (HBM would hold two dense stacks)
+            np.asarray(carries[0][0].ravel()[:1])
+        del d_stack
+
+    out_vals = np.empty((T, k), np.float32)
+    out_idx = np.empty((T, k), np.int32)
+    for b in range(n_batches):
+        vals, idx = _merge_cols(*carries[b], mesh=mesh, k=k)
+        vals = np.asarray(vals)
+        idx = np.asarray(idx)
+        done = 0
+        for r, sel in enumerate(batch_sels[b]):
+            out_vals[sel] = vals[r, : sel.shape[0]]
+            out_idx[sel] = idx[r, : sel.shape[0]]
+            done += sel.shape[0]
+        if progress is not None:
+            progress.update(done)
+
+    out_idx = col_map[out_idx].astype(np.int32)
+    return out_vals, out_idx
+
+
 def execute_sharded(
     pre: Preprocessed,
     params: SPlusParams,
@@ -223,6 +635,37 @@ def execute_sharded(
     progress=None,
 ):
     """Run the mesh-sharded similarity; returns host (T, k) vals f32 / idx i32."""
+    if (
+        pre.filter_matrix is None
+        and pre.target_matrix is None
+        and pre.targets.shape[0] > 0
+        and pre.k > 0
+        and os.environ.get("SIMILARIPY_TPU_SHARDED_GROUPED", "1") != "0"
+    ):
+        return _execute_sharded_grouped(
+            pre, params, mesh=mesh,
+            compute_dtype=compute_dtype, precision=precision,
+            budget_bytes=budget_bytes, progress=progress,
+        )
+    return _execute_sharded_legacy(
+        pre, params, mesh=mesh, block_size_hint=block_size_hint,
+        compute_dtype=compute_dtype, precision=precision,
+        budget_bytes=budget_bytes, progress=progress,
+    )
+
+
+def _execute_sharded_legacy(
+    pre: Preprocessed,
+    params: SPlusParams,
+    *,
+    mesh: Mesh,
+    block_size_hint: Optional[int] = 0,
+    compute_dtype: str = "float32",
+    precision: str = "highest",
+    budget_bytes: Optional[int] = None,
+    progress=None,
+):
+    """Scan-over-tiles sharded path (MATRIX-mode selectors route here)."""
     m1, m2, targets, k = pre.m1, pre.m2, pre.targets, pre.k
     T = targets.shape[0]
     U = m1.shape[1]
@@ -237,7 +680,7 @@ def execute_sharded(
 
     # --- plan: per-shard column span, tiled; per-shard row panel ---
     compute_dtype, inv_scale = resolve_compute_dtype(compute_dtype, pre)
-    itemsize = {"bfloat16": 2, "int8": 3}.get(compute_dtype, 4)  # int8 scatters via bf16
+    itemsize = {"bfloat16": 2, "int8": 3, "int4": 3}.get(compute_dtype, 4)  # int8 scatters via bf16
     c_span = _round_up(math.ceil(C / C_sh), 128)
     plan = plan_tiles(
         max(math.ceil(T / R_sh), 8), U, c_span, k, itemsize, block_size_hint,
@@ -251,7 +694,7 @@ def execute_sharded(
 
     m1_t = m1[targets]
     m2_csc = m2.tocsc()
-    if compute_dtype == "int8":
+    if compute_dtype in ("int8", "int4"):
         m1_t.data = np.rint(m1_t.data * pre.qscale1).astype(np.float32)
         m2_csc.data = np.rint(m2_csc.data * pre.qscale2).astype(np.float32)
 

@@ -10,8 +10,8 @@ import pytest
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "benchmarks"))
 
 from benchmark import BenchmarkResult, system_info  # noqa: E402
-from compare_benchmarks import compare  # noqa: E402
-from dataset_loaders import DATASETS, load_urm  # noqa: E402
+import compare_benchmarks as cb  # noqa: E402
+from dataset_loaders import DATASETS, _has_egress, load_urm  # noqa: E402
 from run_benchmarks import format_summary_table  # noqa: E402
 
 
@@ -38,17 +38,65 @@ def test_format_summary_table():
     assert "cosine" in table and "666.0" in table
 
 
-def test_compare_reports():
+def test_compare_reports(tmp_path, capsys):
     base = {
-        "dataset": "a", "system": {"backend": "cpu"},
+        "dataset": "a", "k": 100, "rounds": 2, "system": {"backend": "cpu"},
         "results": [_result("cosine", 2.0, 500.0).to_dict()],
     }
     cand = {
-        "dataset": "a", "system": {"backend": "tpu"},
+        "dataset": "a", "k": 100, "rounds": 2, "system": {"backend": "tpu"},
         "results": [_result("cosine", 1.0, 1000.0).to_dict()],
     }
-    out = compare(base, cand)
+    pb = tmp_path / "benchmark_a_1.json"
+    pc = tmp_path / "benchmark_a_2.json"
+    pb.write_text(json.dumps(base))
+    pc.write_text(json.dumps(cand))
+    rc = cb.main([str(pb), str(pc), "--bench-dir", str(tmp_path)])
+    out = capsys.readouterr().out
+    assert rc == 0
     assert "2.00x" in out
+    assert "backend: cpu -> tpu" in out
+
+
+def test_compare_regression_gate(tmp_path, capsys):
+    fast = {
+        "dataset": "a", "k": 100, "rounds": 2, "system": {},
+        "results": [_result("cosine", 1.0, 1000.0).to_dict()],
+    }
+    slow = {
+        "dataset": "a", "k": 100, "rounds": 2, "system": {},
+        "results": [_result("cosine", 2.0, 500.0).to_dict()],
+    }
+    pf = tmp_path / "benchmark_a_1.json"
+    ps = tmp_path / "benchmark_a_2.json"
+    pf.write_text(json.dumps(fast))
+    ps.write_text(json.dumps(slow))
+    rc = cb.main([str(pf), str(ps), "--max-regression", "0.10",
+                  "--bench-dir", str(tmp_path)])
+    assert rc == 1
+    assert "REGRESSION" in capsys.readouterr().out
+
+
+def test_compare_list_and_latest(tmp_path, capsys):
+    for i, t in enumerate((3.0, 2.0, 1.0)):
+        rep = {
+            "dataset": "a", "k": 100, "rounds": 1, "system": {},
+            "results": [_result("cosine", t, 100.0 / t).to_dict()],
+        }
+        (tmp_path / f"benchmark_a_{i}.json").write_text(json.dumps(rep))
+    assert cb.main(["--list", "--bench-dir", str(tmp_path)]) == 0
+    assert "3 report(s)" in capsys.readouterr().out
+    assert cb.main(["--latest", "3", "--bench-dir", str(tmp_path)]) == 0
+    out = capsys.readouterr().out
+    assert "[B]" in out and "[C]" in out
+
+
+def test_egress_probe_is_fast():
+    import time
+
+    t0 = time.perf_counter()
+    _has_egress(timeout=0.5)
+    assert time.perf_counter() - t0 < 5.0
 
 
 def test_result_roundtrips_json():

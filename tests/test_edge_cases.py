@@ -71,3 +71,39 @@ def test_wide_and_tall_extremes():
                            dtype=np.float32, random_state=rng)
     out = sim.dot_product(tall, k=10, verbose=VERBOSE)
     assert out.shape == (5000, 5000)
+
+
+def test_large_k_fused_path():
+    """512 < k <= 1024 stays on the fused kernel and matches the oracle."""
+    import os
+
+    rng = np.random.default_rng(3)
+    m = sp.random_array((600, 300), density=0.05, format="csr",
+                        dtype=np.float32, random_state=rng)
+    m.data[:] = np.round(m.data * 4) + 1.0
+    os.environ["SIMILARIPY_TPU_USE_PALLAS"] = "1"
+    try:
+        got = sim.dot_product(m, k=600, threshold=float("-inf"), verbose=VERBOSE)
+        # k = full output width (600 > 512): element-wise comparable
+        ref = (m @ m.T).toarray()
+        np.testing.assert_allclose(got.tocsr().toarray(), ref, rtol=1e-4)
+    finally:
+        del os.environ["SIMILARIPY_TPU_USE_PALLAS"]
+
+
+def test_very_large_k_exact_fallback():
+    """k > 1024 routes to the XLA path (still exact) even when the fused
+    kernel is requested (documented cutover, executor.py)."""
+    import os
+
+    rng = np.random.default_rng(4)
+    m = sp.random_array((60, 2000), density=0.06, format="csr",
+                        dtype=np.float32, random_state=rng)
+    os.environ["SIMILARIPY_TPU_USE_PALLAS"] = "1"
+    try:
+        got = sim.dot_product(m.T.tocsr(), k=2000, threshold=float("-inf"),
+                              verbose=VERBOSE)
+        ref = (m.T @ m).toarray()
+        np.testing.assert_allclose(got.tocsr().toarray(), ref, rtol=1e-4)
+    finally:
+        del os.environ["SIMILARIPY_TPU_USE_PALLAS"]
