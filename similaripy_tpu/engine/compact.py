@@ -500,9 +500,8 @@ def execute_compact(
     # ---- m1 side: plan + device lhs stacks (cached across calls) ----
     m1_key = (
         "compact_m1",
-        ex._fingerprint(
-            m1.indptr, m1.indices, m1.data, targets, xt_full, xc_full, xd_full
-        ),
+        pre.fp1,
+        ex._fingerprint(targets, xt_full, xc_full, xd_full),
         compute_dtype, TM, H, uc_buckets,
     )
     cached = ex._cache_get(m1_key)
@@ -566,10 +565,8 @@ def execute_compact(
     # ---- m2 side: balanced columns, ranked rows, per-tile COO (cached) ----
     m2_key = (
         "compact_m2",
-        ex._fingerprint(
-            m2.indptr, m2.indices, m2.data,
-            pre.Yt, pre.Yc, pre.Yd, pre.col_allowed, rank_of,
-        ),
+        pre.fp2,
+        ex._fingerprint(pre.Yt, pre.Yc, pre.Yd, pre.col_allowed, rank_of),
         compute_dtype, tc, n_tiles, u_pad,
     )
     cached = ex._cache_get(m2_key)

@@ -518,6 +518,15 @@ def _pallas_enabled() -> bool:
     return on_tpu()
 
 
+@jax.jit
+def _pack_carries(vals, idx):
+    """Interleave f32 vals (bitcast) and i32 idx into one (..., 2) int32
+    buffer so the host fetch is a single transfer."""
+    return jnp.stack(
+        [jax.lax.bitcast_convert_type(vals, jnp.int32), idx], axis=-1
+    )
+
+
 def _fingerprint(*arrays) -> str:
     """Full-content fingerprint of the given arrays.
 
@@ -802,6 +811,11 @@ def execute(
 
     # ---- fused-kernel alignment + group sizing ----
     use_pallas = _pallas_enabled()
+    if compute_dtype == "float32" and precision == "high":
+        # Mosaic implements only DEFAULT/HIGHEST, so the fused kernel would
+        # run HIGH requests at HIGHEST (~30 TFLOP/s measured). The XLA path
+        # keeps real bf16x3 (~3x faster) — worth more than the fusion.
+        use_pallas = False
     k_pad = k
     # smaller panels leave more HBM for resident tile groups (each extra
     # group costs a full matrix1 re-scatter), so cap the panel height
@@ -840,8 +854,11 @@ def execute(
     g_tiles = max(1, int((budget * 0.85 - reserve) // tile_bytes))
     g_tiles = min(g_tiles, n_tiles)
     # pad the tile count so every group has exactly g_tiles tiles (stable
-    # compiled shapes); the extra tiles are empty and contribute nothing
+    # compiled shapes); the extra tiles are empty and contribute nothing.
+    # Shrink g_tiles to the minimum for the chosen group count — the
+    # budget-driven value can overshoot by several resident GB.
     n_groups = math.ceil(n_tiles / g_tiles)
+    g_tiles = math.ceil(n_tiles / n_groups)
     n_tiles = n_groups * g_tiles
 
     # matrix2 tiles: balanced round-robin column layout (see balance_columns).
@@ -849,10 +866,8 @@ def execute(
     # tocsc conversion entirely.
     m2_key = (
         "m2",
-        _fingerprint(
-            m2.indptr, m2.indices, m2.data,
-            pre.Yt, pre.Yc, pre.Yd, pre.col_allowed,
-        ),
+        pre.fp2,
+        _fingerprint(pre.Yt, pre.Yc, pre.Yd, pre.col_allowed),
         compute_dtype, tc, n_tiles, u_pad,
     )
     cached = _cache_get(m2_key)
@@ -909,10 +924,8 @@ def execute(
 
     m1_key = (
         "m1",
-        _fingerprint(
-            m1.indptr, m1.indices, m1.data, targets,
-            xt_full, xc_full, xd_full,
-        ),
+        pre.fp1,
+        _fingerprint(targets, xt_full, xc_full, xd_full),
         compute_dtype, trp,
     )
     cached = _cache_get(m1_key)
@@ -1082,9 +1095,10 @@ def execute(
         del d_stack
 
     # single batched readback: per-array transfers pay a full tunnel
-    # round-trip each
-    all_vals = np.asarray(carry_v)
-    all_idx = np.asarray(carry_i)
+    # round-trip each, so pack (vals, idx) into one int32 buffer first
+    packed = np.asarray(_pack_carries(carry_v, carry_i))
+    all_vals = packed.view(np.float32)[..., 0]
+    all_idx = packed[..., 1]
     for p in range(n_panels):
         sel = panel_sel[p]
         out_vals[sel] = all_vals[p, : sel.shape[0]]

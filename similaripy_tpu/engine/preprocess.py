@@ -166,6 +166,11 @@ class Preprocessed:
     m2: sp.csr_array  # U x C
     targets: np.ndarray  # (T,) int32
     k: int
+    # full-content digests of the coerced input matrices, computed once per
+    # call so downstream caches key on them without re-hashing hundreds of
+    # MB (the binary flag and kernel params join them in every cache key)
+    fp1: str = ""
+    fp2: str = ""
     # normalization vectors, indexed by original row / col id (or None)
     Xt: Optional[np.ndarray] = None
     Yt: Optional[np.ndarray] = None
@@ -192,17 +197,14 @@ def clear_prep_cache():
     _PREP_CACHE.clear()
 
 
-def _prep_cache_key(m1, m2, depop1, depop2, p1, p2, c1, c2, l1, l2, l3,
+def _prep_cache_key(fp1, fp2, depop1, depop2, p1, p2, c1, c2, l1, l2, l3,
                     additive_shrink, binary):
     from .executor import _fingerprint
 
     d1 = depop1 if isinstance(depop1, str) else _fingerprint(np.asarray(depop1))
     d2 = depop2 if isinstance(depop2, str) else _fingerprint(np.asarray(depop2))
-    return (
-        _fingerprint(m1.indptr, m1.indices, m1.data),
-        _fingerprint(m2.indptr, m2.indices, m2.data),
-        d1, d2, p1, p2, c1, c2, l1, l2, l3, additive_shrink, binary,
-    )
+    return (fp1, fp2, d1, d2, p1, p2, c1, c2, l1, l2, l3,
+            additive_shrink, binary)
 
 
 def preprocess(
@@ -228,16 +230,24 @@ def preprocess(
     """Build all device-ready inputs (reference flow: s_plus.pyx:168-346)."""
     m1 = ensure_csr_f32(matrix1)
     m2 = ensure_csr_f32(matrix2)
+    from .executor import _fingerprint
+
+    fp1 = _fingerprint(m1.indptr, m1.indices, m1.data)
+    fp2 = _fingerprint(m2.indptr, m2.indices, m2.data)
 
     # The O(nnz) artifacts (binary transform, norm vectors, quantization
     # scales) depend only on the matrices + kernel hyperparameters, not on
     # targets/selectors — cache them across calls (production scoring
     # reuses the same matrices every batch).
     cache_key = _prep_cache_key(
-        m1, m2, weight_depop_matrix1, weight_depop_matrix2,
+        fp1, fp2, weight_depop_matrix1, weight_depop_matrix2,
         p1, p2, c1, c2, l1, l2, l3, additive_shrink, binary,
     )
     hit = _PREP_CACHE.get(cache_key)
+    if binary:
+        # distinct digests: the transformed matrices differ from the raw
+        # ones even though the raw bytes (and fp) are the same
+        fp1, fp2 = fp1 + ":b", fp2 + ":b"
 
     if hit is None:
         if binary:
@@ -296,6 +306,8 @@ def preprocess(
         m2=m2,
         targets=targets,
         k=k,
+        fp1=fp1,
+        fp2=fp2,
         n_output_rows=n_output_rows,
         n_output_cols=n_output_cols,
     )

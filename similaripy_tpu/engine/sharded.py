@@ -434,8 +434,8 @@ def _execute_sharded_grouped(
 
     m2_key = (
         "sh_m2",
-        _fingerprint(m2.indptr, m2.indices, m2.data,
-                     pre.Yt, pre.Yc, pre.Yd, pre.col_allowed),
+        pre.fp2,
+        _fingerprint(pre.Yt, pre.Yc, pre.Yd, pre.col_allowed),
         compute_dtype, tc, n_tiles, u_pad, mesh,
     )
     cached = _cache_get(m2_key)
@@ -507,8 +507,8 @@ def _execute_sharded_grouped(
     n_batches = max(_math.ceil(T / rows_per_call), 1)
     m1_key = (
         "sh_m1",
-        _fingerprint(m1.indptr, m1.indices, m1.data, targets,
-                     xt_full, xc_full, xd_full),
+        pre.fp1,
+        _fingerprint(targets, xt_full, xc_full, xd_full),
         compute_dtype, trp, mesh,
     )
     cached = _cache_get(m1_key)

@@ -436,8 +436,11 @@ _COMMON_DOC = """
         compute_dtype: 'auto' (default — exact int8 MXU path when both
             matrices integerize to |v| <= 127, else float32), 'float32',
             'bfloat16', or 'int8'.
-        precision: float matmul passes — 'highest' (default), 'high',
-            or 'default' (single-pass bfloat16 inputs, ~5x faster).
+        precision: float matmul passes — 'highest' (default;
+            f32-faithful), 'high' (bf16x3, ~3x faster on TPU — the
+            recommended mode for float-weighted scoring pipelines), or
+            'default' (single-pass bfloat16 inputs, fastest, ~3
+            significant digits).
         mesh: a ``jax.sharding.Mesh`` with 'rows'/'cols' axes for
             multi-device execution with a distributed top-K merge.
 

@@ -101,3 +101,33 @@ def test_int8_sharded():
     got = sim.dot_product(m, k=25, verbose=False, compute_dtype="int8", mesh=mesh)
     ref = top_k(m @ m.T, 25)
     np.testing.assert_allclose(check_sum(got), check_sum(ref), rtol=1e-5)
+
+
+def test_int4_resolution_gating(monkeypatch):
+    """int4 arms only on TPU with SIMILARIPY_TPU_INT4=1 and nibble-sized
+    values; explicit request off-TPU still resolves (execution would need
+    a TPU backend, but planning is host-side)."""
+    import scipy.sparse as sp
+
+    from similaripy_tpu.engine.executor import resolve_compute_dtype
+    from similaripy_tpu.engine.preprocess import preprocess
+
+    m = sp.csr_array(
+        (np.ones(4, np.float32), (np.arange(4), np.arange(4))), shape=(4, 5)
+    )
+    pre = preprocess(m, m.T, k=2)
+    # auto on CPU: int8 even when the env flag is set (TPU-only feature)
+    monkeypatch.setenv("SIMILARIPY_TPU_INT4", "1")
+    dt, _ = resolve_compute_dtype("auto", pre)
+    assert dt == "int8"
+    # explicit int4 resolves with the right inverse scale
+    dt, inv = resolve_compute_dtype("int4", pre)
+    assert dt == "int4" and inv == 1.0
+    # non-integerizable data refuses explicit int4
+    m2 = sp.csr_array(
+        (np.array([0.3, 0.7], np.float32), (np.array([0, 1]), np.array([0, 1]))),
+        shape=(2, 5),
+    )
+    pre2 = preprocess(m2, m2.T, k=1)
+    with pytest.raises(ValueError, match="int4"):
+        resolve_compute_dtype("int4", pre2)

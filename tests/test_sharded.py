@@ -133,3 +133,19 @@ def test_sharded_uneven_rows():
     got = sim.dot_product(m, k=13, verbose=VERBOSE, mesh=mesh)
     ref = top_k(m @ m.T, 13)
     np.testing.assert_allclose(check_sum(got), check_sum(ref), rtol=1e-4)
+
+
+def test_sharded_grouped_matches_legacy(monkeypatch):
+    """The grouped+fused sharded path and the legacy scan-over-tiles path
+    produce identical results (both exact on the int8 path)."""
+    from oracles import check_sum
+
+    rng = np.random.default_rng(21)
+    m = sp.random_array((160, 90), density=0.12, format="csr",
+                        dtype=np.float32, random_state=rng)
+    m.data[:] = np.round(m.data * 4) + 1.0
+    mesh = make_mesh(rows=2, cols=4)
+    a = sim.cosine(m, k=12, verbose=VERBOSE, mesh=mesh)
+    monkeypatch.setenv("SIMILARIPY_TPU_SHARDED_GROUPED", "0")
+    b = sim.cosine(m, k=12, verbose=VERBOSE, mesh=mesh)
+    np.testing.assert_allclose(check_sum(a), check_sum(b), rtol=1e-6)
