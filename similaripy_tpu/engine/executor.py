@@ -793,6 +793,18 @@ def execute(
         )
 
     from .compact import compact_eligible, execute_compact
+    from .symmetric import execute_symmetric, symmetric_eligible
+
+    if symmetric_eligible(pre, params, block_size_hint):
+        # self-similarity: upper-triangle blocked executor — ~half the MXU
+        # work and no separate matrix1 staging (see symmetric.py)
+        return execute_symmetric(
+            pre, params,
+            compute_dtype=compute_dtype,
+            precision=precision,
+            budget_bytes=budget_bytes,
+            progress=progress,
+        )
 
     if compact_eligible(pre, k):
         return execute_compact(

@@ -187,6 +187,9 @@ class Preprocessed:
     # not integerizable) — enables the exact int8 MXU path (executor.py)
     qscale1: Optional[float] = None
     qscale2: Optional[float] = None
+    # the call came from matrix2=None, i.e. m2 is exactly m1.T — arms the
+    # symmetric executor when the epilogue mirrors too (symmetric.py)
+    self_similar: bool = False
 
 
 _PREP_CACHE: dict = {}
@@ -226,6 +229,7 @@ def preprocess(
     target_rows=None,
     filter_cols=None,
     target_cols=None,
+    self_similar: bool = False,
 ) -> Preprocessed:
     """Build all device-ready inputs (reference flow: s_plus.pyx:168-346)."""
     m1 = ensure_csr_f32(matrix1)
@@ -313,6 +317,7 @@ def preprocess(
     )
     out.Xt, out.Yt, out.Xc, out.Yc, out.Xd, out.Yd = Xt, Yt, Xc, Yc, Xd, Yd
     out.qscale1, out.qscale2 = qs1, qs2
+    out.self_similar = bool(self_similar)
 
     # --- column selectors (reference: s_plus.pyx:284-295) ---
     filter_sel = build_column_selector(filter_cols)

@@ -69,6 +69,7 @@ def s_plus(
 
     Reference semantics: similaripy/cython_code/s_plus.pyx:95-433.
     """
+    self_similar = matrix2 is None
     if matrix2 is None:
         matrix2 = matrix1.T
 
@@ -109,6 +110,7 @@ def s_plus(
         target_rows=target_rows,
         filter_cols=filter_cols,
         target_cols=target_cols,
+        self_similar=self_similar,
     )
 
     params = SPlusParams(

@@ -1,0 +1,478 @@
+"""Symmetric (self-similarity) executor: upper-triangle blocked top-K.
+
+The headline similarity workload is self-similarity — ``sim.cosine(m)``
+computes the top-K of ``m @ m.T`` (reference: s_plus.pyx:164-166 sets
+``matrix2 = matrix1.T``). The score matrix is then symmetric whenever the
+S-Plus epilogue treats both sides identically, and the general executor
+(executor.py) computes every cell twice AND re-scatters the matrix1 panels
+once per resident tile group. This module exploits the symmetry the TPU
+way:
+
+  - ONE item permutation (nnz-rank round-robin over column tiles, the
+    balance trick of executor.balance_columns) is shared by rows and
+    columns, so a tile's COO scatters into EITHER orientation:
+    ``(user, slot)`` for a rhs tile, ``(slot, user)`` for a lhs row block.
+    The separate matrix1 panel preparation disappears entirely.
+  - anchor groups of ``gt`` tiles are densified once in lhs orientation
+    and stay HBM-resident while the executor sweeps the remaining column
+    tiles t >= anchor_start — only the upper block triangle is computed
+    (~0.52-0.57x of the full grid at ML-32M geometry instead of 1.0x).
+  - every computed block feeds TWO top-K merges: the anchor rows' carry
+    (row side) and, transposed, the inner tile rows' carry (col side).
+    Tile-granularity iota masks make the delivery exactly-once:
+        row side keeps columns of tile t for rows with tile(row) <= t,
+        col side keeps candidates  with tile(candidate)      <  t,
+    which for every ordered pair (r, c) delivers c into r's stream exactly
+    once — including the diagonal r == c (row side of the diagonal tile).
+  - anchors are processed in PAIRS sharing one inner sweep, so each inner
+    tile is scattered once for two anchors (the re-materialization
+    triangle is the scatter floor; pairing halves it).
+  - a finished anchor pair's carry rows are final (later anchors only
+    sweep tiles to their right), so their packed readback streams
+    host-ward asynchronously UNDER the next pair's compute.
+
+The result is identical to the general path: same epilogue
+(executor.splus_epilogue), same exact hierarchical top-K merge
+(executor.topk_merge), same candidate semantics (xy != 0). Eligibility is
+conservative (symmetric_eligible): value symmetry requires matrix2 to be
+matrix1.T with mirrored normalization vectors and t1 == t2; row/column
+selectors and target subsets fall back to the general executor.
+
+Reference parity: this replaces the same work as the reference's blocked
+Gustavson loop (s_plus.h:358-410) for the ``matrix2=None`` call family —
+the reference never exploits symmetry, so this path has no counterpart
+there; its correctness oracle is the general executor.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.env import hbm_budget_bytes
+from .params import SPlusParams
+from .preprocess import Preprocessed
+
+NEG_INF = float("-inf")
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Eligibility
+# ---------------------------------------------------------------------------
+
+
+def _vec_pair_equal(a: Optional[np.ndarray], b: Optional[np.ndarray]) -> bool:
+    if a is None and b is None:
+        return True
+    if a is None or b is None:
+        return False
+    return a.shape == b.shape and np.array_equal(a, b)
+
+
+def symmetric_eligible(pre: Preprocessed, params: SPlusParams,
+                       block_size_hint) -> bool:
+    """True when the score matrix is provably symmetric and un-subsetted.
+
+    Requires: the call came from ``matrix2=None`` (pre.self_similar), all
+    rows targeted in natural order, no column selectors, an epilogue whose
+    row- and column-side inputs mirror (t1 == t2 and identical
+    normalization vectors), and the planner-managed block size (the
+    reference's explicit block_size semantics stay on the general path).
+    """
+    if os.environ.get("SIMILARIPY_TPU_SYMMETRIC", "1") in ("0", "false"):
+        return False
+    if os.environ.get("SIMILARIPY_TPU_COMPACT") == "1":
+        return False  # explicit compact-path request wins (tests/debug)
+    if not pre.self_similar:
+        return False
+    if block_size_hint != 0:
+        return False
+    if pre.filter_matrix is not None or pre.target_matrix is not None:
+        return False
+    if pre.col_allowed is not None:
+        return False
+    C = pre.n_output_cols
+    if pre.n_output_rows != C or pre.m1.shape[0] != C:
+        return False
+    t = pre.targets
+    if t.shape[0] != C or t[0] != 0 or t[-1] != C - 1:
+        return False
+    if not np.array_equal(t, np.arange(C, dtype=t.dtype)):
+        return False
+    if params.l1 != 0.0 and params.t1 != params.t2:
+        return False  # asymmetric Tversky weights
+    for a, b in ((pre.Xt, pre.Yt), (pre.Xc, pre.Yc), (pre.Xd, pre.Yd)):
+        if not _vec_pair_equal(a, b):
+            return False
+    if pre.qscale1 != pre.qscale2:
+        return False
+    return True
+
+
+# ---------------------------------------------------------------------------
+# Planning
+# ---------------------------------------------------------------------------
+
+
+def _plan(C: int, U: int, nnz: int, compute_dtype: str,
+          budget: int) -> tuple[int, int, int, bool]:
+    """Choose (tc, gt, u_pad, dual) under the HBM budget.
+
+    The cost model balances the two O(n_groups) terms: coarser anchors
+    (larger gt) cut the inner re-scatter triangle but coarsen the block
+    triangle (more wasted matmul below the diagonal band). The resident
+    lhs (per_pass * gt * tc * u_pad) must fit next to the rhs scatter
+    transient, the COO uploads and the score-block working set.
+    """
+    u_pad = max(_round_up(U, 128), 128)
+    isize = {"bfloat16": 2, "int8": 1, "int4": 1}.get(compute_dtype, 4)
+
+    tc_env = os.environ.get("SIMILARIPY_TPU_SYM_TC")
+    if tc_env:
+        tc = _round_up(int(tc_env), 128)
+    else:
+        tc = 4096 if isize <= 2 else 2048
+    tc = min(tc, _round_up(C, 128))
+    n_tiles = math.ceil(C / tc)
+
+    dual = os.environ.get("SIMILARIPY_TPU_SYM_DUAL", "1") not in ("0", "false")
+    per_pass = 2 if dual else 1
+
+    tile_lhs = tc * u_pad * isize
+    # per-anchor-tile score-block working set: xy + f32 val + masked copy +
+    # transpose (~12B per cell of a (tc x tc) block slice)
+    blk = tc * tc * 12
+    reserve = (
+        int(nnz * 12 * 1.8)  # device-resident COO uploads + pad slack
+        + u_pad * tc * (2 + isize)  # rhs scatter transient (bf16 + cast)
+        + tc * u_pad * 2  # lhs scatter transient (bf16, per tile)
+        + (1 << 30)
+    )
+    avail = int(budget * 0.85) - reserve
+    gt_env = os.environ.get("SIMILARIPY_TPU_SYM_GT")
+    if gt_env:
+        gt = max(1, int(gt_env))
+    else:
+        gt = max(1, avail // (per_pass * tile_lhs + blk))
+    gt = min(gt, n_tiles)
+    return tc, gt, u_pad, dual
+
+
+# ---------------------------------------------------------------------------
+# Device programs
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("tc", "u_pad", "compute_dtype"))
+def _densify_lhs(slots, users, vals, *, tc: int, u_pad: int,
+                 compute_dtype: str):
+    """Per-tile COO -> (gt, tc, u_pad) lhs-oriented dense stack.
+
+    Same triplets as the rhs tiles, scattered with the index order swapped;
+    sequential map bounds the bf16 scatter transient to one tile."""
+    from .executor import compute_cast, densify
+
+    cdt, _ = compute_cast(compute_dtype)
+
+    def one(args):
+        s, u, v = args
+        return densify((tc, u_pad), s, u, v, cdt)
+
+    return jax.lax.map(one, (slots, users, vals))
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "flags", "k", "gt", "tc", "u_pad", "cs", "n_anchors",
+        "compute_dtype", "precision",
+    ),
+    donate_argnums=(2, 3),
+)
+def _sweep_chunk(
+    anchors,  # tuple of dicts: lhs (gt,tc,u_pad), xt/xc/xd (sw,), a0 scalar
+    tiles,  # dict of (cs, ...) stacked per-tile arrays: tid, ru, sl, vv, y_*
+    carry_v,  # (Cdev, k) donated
+    carry_i,  # (Cdev, k) donated
+    pvec,
+    *,
+    flags: tuple,
+    k: int,
+    gt: int,
+    tc: int,
+    u_pad: int,
+    cs: int,
+    n_anchors: int,
+    compute_dtype: str,
+    precision: str,
+):
+    """cs inner tiles x n_anchors resident row blocks, one dispatch.
+
+    Each step scatters one rhs tile and, per anchor: MXU block matmul,
+    S-Plus epilogue, row-side and (transposed) col-side exact top-K merges
+    into the global carry. Delivery masks as per the module docstring.
+    """
+    from .executor import compute_cast, densify, splus_epilogue, topk_merge
+
+    cdt, acc = compute_cast(compute_dtype)
+    prec = {
+        "default": jax.lax.Precision.DEFAULT,
+        "high": jax.lax.Precision.HIGH,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[precision]
+    sw = gt * tc
+    int_mode = compute_dtype in ("int8", "int4")
+
+    def step(carry, xs):
+        cv, ci = carry
+        t = xs["tid"]  # global tile index, i32 scalar
+        d = densify((u_pad, tc), xs["ru"], xs["sl"], xs["vv"], cdt)
+        base_t = t * tc
+        for a in anchors:
+            lhs = a["lhs"].reshape(sw, u_pad)
+            xy = jnp.dot(lhs, d, preferred_element_type=acc, precision=prec)
+            if int_mode:
+                xy = xy.astype(jnp.float32) * pvec[9]
+            candidate = xy != 0.0
+            val = splus_epilogue(
+                xy, candidate, a["xt"], a["xc"], a["xd"],
+                xs["y_t"], xs["y_c"], xs["y_d"], pvec, flags,
+            )
+            row_tile = a["a0"] + jax.lax.broadcasted_iota(
+                jnp.int32, (sw, 1), 0
+            ) // tc
+            base_a = a["a0"] * tc
+
+            # row side: anchor rows gain tile t's columns (tile(row) <= t)
+            rv = jnp.where(row_tile <= t, val, NEG_INF)
+            cv_a = jax.lax.dynamic_slice(cv, (base_a, 0), (sw, k))
+            ci_a = jax.lax.dynamic_slice(ci, (base_a, 0), (sw, k))
+            col_ids = base_t + jax.lax.broadcasted_iota(jnp.int32, (1, tc), 1)
+            nv, ni = topk_merge(cv_a, ci_a, rv, col_ids, k)
+            cv = jax.lax.dynamic_update_slice(cv, nv, (base_a, 0))
+            ci = jax.lax.dynamic_update_slice(ci, ni, (base_a, 0))
+
+            # col side: tile t's rows gain anchor candidates
+            # (tile(candidate) < t — strict, so the band is not doubled)
+            colv = jnp.where(row_tile < t, val, NEG_INF).T  # (tc, sw)
+            cv_t = jax.lax.dynamic_slice(cv, (base_t, 0), (tc, k))
+            ci_t = jax.lax.dynamic_slice(ci, (base_t, 0), (tc, k))
+            cand_ids = base_a + jax.lax.broadcasted_iota(jnp.int32, (1, sw), 1)
+            nv2, ni2 = topk_merge(cv_t, ci_t, colv, cand_ids, k)
+            cv = jax.lax.dynamic_update_slice(cv, nv2, (base_t, 0))
+            ci = jax.lax.dynamic_update_slice(ci, ni2, (base_t, 0))
+        return (cv, ci), None
+
+    (carry_v, carry_i), _ = jax.lax.scan(step, (carry_v, carry_i), tiles)
+    return carry_v, carry_i
+
+
+@partial(jax.jit, static_argnames=("size",))
+def _pack_rows(carry_v, carry_i, start, *, size: int):
+    """Slice + bitcast-pack finished carry rows for one async d2h."""
+    v = jax.lax.dynamic_slice(carry_v, (start, 0), (size, carry_v.shape[1]))
+    i = jax.lax.dynamic_slice(carry_i, (start, 0), (size, carry_i.shape[1]))
+    return jnp.stack([jax.lax.bitcast_convert_type(v, jnp.int32), i], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Host orchestration
+# ---------------------------------------------------------------------------
+
+
+def execute_symmetric(
+    pre: Preprocessed,
+    params: SPlusParams,
+    *,
+    compute_dtype: str = "auto",
+    precision: str = "highest",
+    budget_bytes: Optional[int] = None,
+    progress=None,
+):
+    """Self-similarity top-K; returns host (C, k) vals f32 / idx int32."""
+    import time as _time_mod
+
+    from .executor import (
+        _cache_get,
+        _cache_put,
+        _fingerprint,
+        _pad_bucket,
+        _stack_m2_tiles_balanced,
+        _vec_by_map,
+        build_pvec,
+        resolve_compute_dtype,
+    )
+
+    _t_enter = _time_mod.perf_counter()
+    C = pre.n_output_cols
+    U = pre.m1.shape[1]
+    k = pre.k
+    m2 = pre.m2
+
+    compute_dtype, inv_scale = resolve_compute_dtype(compute_dtype, pre)
+    budget = budget_bytes if budget_bytes is not None else hbm_budget_bytes()
+    tc, gt, u_pad, dual = _plan(C, U, m2.nnz, compute_dtype, budget)
+    n_tiles = math.ceil(C / tc)
+    n_groups = math.ceil(n_tiles / gt)
+    n_tiles_dev = n_groups * gt
+    Cdev = n_tiles_dev * tc
+    sw = gt * tc
+
+    # ---- host prep: one permutation, one per-tile COO, both norm layouts ----
+    prep_key = (
+        "sym", pre.fp2,
+        _fingerprint(pre.Yt, pre.Yc, pre.Yd),
+        compute_dtype, tc, n_tiles_dev,
+    )
+    cached = _cache_get(prep_key)
+    if cached is None:
+        m2_csc = m2.tocsc()
+        if compute_dtype in ("int8", "int4"):
+            m2_csc.data = np.rint(m2_csc.data * pre.qscale2).astype(np.float32)
+        col_nnz = np.diff(m2_csc.indptr)
+        # round-robin by nnz rank over ALL device tiles: the matmul cost is
+        # set by Cdev alone, so spreading items into the padding tiles is
+        # free and keeps every tile's scatter bucket near the mean
+        rank = np.argsort(-col_nnz, kind="stable")
+        tile_lists = [rank[t::n_tiles_dev] for t in range(n_tiles_dev)]
+        item_map = np.full(Cdev, C, dtype=np.int64)
+        for t, items in enumerate(tile_lists):
+            item_map[t * tc : t * tc + items.shape[0]] = items
+
+        t_users, t_slots, t_vals = _stack_m2_tiles_balanced(
+            m2_csc, tile_lists, tc, u_pad
+        )
+        yt = _vec_by_map(pre.Yt, item_map, C).reshape(n_tiles_dev, tc)
+        yc = _vec_by_map(pre.Yc, item_map, C).reshape(n_tiles_dev, tc)
+        yd = _vec_by_map(pre.Yd, item_map, C).reshape(n_tiles_dev, tc)
+
+        dev = {
+            "ru": jnp.asarray(t_users),  # (n_tiles_dev, p2) user index
+            "sl": jnp.asarray(t_slots),  # (n_tiles_dev, p2) tile slot
+            "vv": jnp.asarray(t_vals),
+            "y_t": jnp.asarray(yt),
+            "y_c": jnp.asarray(yc),
+            "y_d": jnp.asarray(yd),
+            "tid": jnp.arange(n_tiles_dev, dtype=jnp.int32),
+        }
+        _cache_put(prep_key, (dev, item_map))
+    else:
+        dev, item_map = cached
+
+    pvec = jnp.asarray(build_pvec(params, inv_scale))
+    flags = params.static_flags()
+
+    carry_v = jnp.full((Cdev, k), NEG_INF, jnp.float32)
+    carry_i = jnp.zeros((Cdev, k), jnp.int32)
+
+    timing = os.environ.get("SIMILARIPY_TPU_TIMING") == "1"
+    if timing:
+        import sys
+        import time as _time
+
+        print(
+            f"# sym plan: tc={tc} gt={gt} u_pad={u_pad} n_tiles={n_tiles_dev} "
+            f"n_groups={n_groups} dual={dual} dtype={compute_dtype} "
+            f"prep: {_time.perf_counter() - _t_enter:.2f}s",
+            file=sys.stderr, flush=True,
+        )
+        _t_mark = _time.perf_counter()
+
+        def _lap(label, sync=None):
+            nonlocal _t_mark
+            if sync is not None:
+                np.asarray(jax.tree.leaves(sync)[0].ravel()[:1])
+            now = _time.perf_counter()
+            print(f"# {label}: {now - _t_mark:.2f}s", file=sys.stderr,
+                  flush=True)
+            _t_mark = now
+
+    def make_anchor(a: int):
+        t0, t1 = a * gt, (a + 1) * gt
+        lhs = _densify_lhs(
+            dev["sl"][t0:t1], dev["ru"][t0:t1], dev["vv"][t0:t1],
+            tc=tc, u_pad=u_pad, compute_dtype=compute_dtype,
+        )
+        return {
+            "lhs": lhs,
+            "xt": dev["y_t"][t0:t1].reshape(sw),
+            "xc": dev["y_c"][t0:t1].reshape(sw),
+            "xd": dev["y_d"][t0:t1].reshape(sw),
+            "a0": jnp.int32(t0),
+        }
+
+    def sweep(anchors, c0: int, c1: int):
+        nonlocal carry_v, carry_i
+        for s in range(c0, c1, gt):
+            chunk = {name: dev[name][s : s + gt] for name in
+                     ("tid", "ru", "sl", "vv", "y_t", "y_c", "y_d")}
+            carry_v, carry_i = _sweep_chunk(
+                tuple(anchors), chunk, carry_v, carry_i, pvec,
+                flags=flags, k=k, gt=gt, tc=tc, u_pad=u_pad, cs=gt,
+                n_anchors=len(anchors),
+                compute_dtype=compute_dtype, precision=precision,
+            )
+
+    # anchor pairs share one inner sweep (halves the rhs re-scatter);
+    # finished pairs stream their packed rows host-ward asynchronously
+    pair_list = [
+        (a, a + 1) if dual and a + 1 < n_groups else (a,)
+        for a in range(0, n_groups, 2 if dual else 1)
+    ]
+    snapshots = []
+    done_rows = 0
+    for pair in pair_list:
+        anchors = [make_anchor(a) for a in pair]
+        a0 = pair[0] * gt
+        if len(pair) == 2:
+            sweep(anchors[:1], a0, pair[1] * gt)  # band tiles: first anchor only
+            sweep(anchors, pair[1] * gt, n_tiles_dev)
+        else:
+            sweep(anchors, a0, n_tiles_dev)
+        size = len(pair) * sw
+        packed = _pack_rows(carry_v, carry_i, jnp.int32(a0 * tc), size=size)
+        try:
+            packed.copy_to_host_async()
+        except Exception:
+            pass  # backend without async copies: np.asarray below still works
+        snapshots.append((a0 * tc, size, packed))
+        # barrier: dispatch is async and lhs stacks are GBs — without it the
+        # next pair's anchors allocate while this pair's still compute
+        # (2x-3x HBM -> OOM); the tiny readback also lets the packed d2h
+        # stream under the next pair's sweeps
+        np.asarray(carry_v[:1, :1])
+        if timing:
+            _lap(f"pair {pair} sweep")
+        if progress is not None:
+            done = C if pair[-1] == n_groups - 1 else min(
+                C, ((pair[-1] + 1) * sw * C) // Cdev
+            )
+            progress.update(done - done_rows)
+            done_rows = done
+
+    # collect (transfers already in flight), map back to original item ids
+    out_vals = np.empty((C, k), np.float32)
+    out_idx = np.empty((C, k), np.int32)
+    for start, size, packed in snapshots:
+        arr = np.asarray(packed)  # (size, k, 2) int32, contiguous
+        vals = arr.view(np.float32)[..., 0]
+        idx = arr[..., 1]
+        seg = item_map[start : start + size]
+        real = seg < C
+        out_vals[seg[real]] = vals[real]
+        out_idx[seg[real]] = idx[real]
+    if timing:
+        _lap("output readback")
+
+    out_idx = item_map[out_idx].astype(np.int32)
+    return out_vals, out_idx

@@ -18,6 +18,16 @@ from similaripy_tpu.engine.preprocess import preprocess
 VERBOSE = False
 
 
+@pytest.fixture(autouse=True)
+def _no_symmetric(monkeypatch):
+    """Self-similarity calls route to the symmetric executor first; these
+    tests target the compact path specifically, so disable that routing."""
+    monkeypatch.setenv("SIMILARIPY_TPU_SYMMETRIC", "0")
+    sim.clear_caches()
+    yield
+    sim.clear_caches()
+
+
 def _int_matrix(rows, cols, density, seed):
     rng = np.random.default_rng(seed)
     m = sp.random_array((rows, cols), density=density, format="csr",

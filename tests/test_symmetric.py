@@ -1,0 +1,211 @@
+"""Symmetric (self-similarity) executor vs the general path.
+
+The general executor is the oracle: SIMILARIPY_TPU_SYMMETRIC=0 forces the
+same call down the general path, and the two must agree exactly (int8) or
+to float tolerance. Small SYM_TC/SYM_GT overrides shrink the tiles so tiny
+matrices exercise the full triangle scheduling: multiple tiles, multiple
+anchors, dual-anchor pairing, band masks, and the col-side transposed
+merge.
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import similaripy_tpu as sim
+from oracles import check_sum, top_k
+from similaripy_tpu.engine import preprocess as prep_mod
+from similaripy_tpu.engine.params import SPlusParams
+from similaripy_tpu.engine.symmetric import symmetric_eligible
+
+
+@pytest.fixture(autouse=True)
+def _clear_caches():
+    sim.clear_caches()
+    yield
+    sim.clear_caches()
+
+
+def _rand(n, m, density=0.15, seed=3, integral=True):
+    rng = np.random.default_rng(seed)
+    a = sp.random_array((n, m), density=density, format="csr",
+                        dtype=np.float32, random_state=rng)
+    if integral:
+        a.data[:] = np.round(a.data * 4) + 1.0
+    return a
+
+
+def _both_paths(fn, monkeypatch, *args, **kwargs):
+    """Run a similarity through the symmetric and the general path."""
+    got = fn(*args, **kwargs)
+    monkeypatch.setenv("SIMILARIPY_TPU_SYMMETRIC", "0")
+    sim.clear_caches()
+    ref = fn(*args, **kwargs)
+    monkeypatch.delenv("SIMILARIPY_TPU_SYMMETRIC")
+    return got, ref
+
+
+@pytest.mark.parametrize("tc,gt", [("128", "1"), ("128", "2"), ("256", "3")])
+def test_multi_tile_triangle(monkeypatch, tc, gt):
+    """Many tiles/anchors on a small matrix: the triangle scheduling, band
+    masks and dual pairing must reproduce the general path exactly."""
+    monkeypatch.setenv("SIMILARIPY_TPU_SYM_TC", tc)
+    monkeypatch.setenv("SIMILARIPY_TPU_SYM_GT", gt)
+    m = _rand(70, 900, seed=11).T.tocsr()  # 900 items x 70 users
+    got, ref = _both_paths(sim.cosine, monkeypatch, m, k=17, verbose=False)
+    np.testing.assert_allclose(check_sum(got), check_sum(ref), rtol=1e-6)
+
+
+def test_single_anchor_mode(monkeypatch):
+    monkeypatch.setenv("SIMILARIPY_TPU_SYM_TC", "128")
+    monkeypatch.setenv("SIMILARIPY_TPU_SYM_GT", "2")
+    monkeypatch.setenv("SIMILARIPY_TPU_SYM_DUAL", "0")
+    m = _rand(60, 700, seed=5).T.tocsr()
+    got, ref = _both_paths(sim.cosine, monkeypatch, m, k=9, verbose=False)
+    np.testing.assert_allclose(check_sum(got), check_sum(ref), rtol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "call",
+    [
+        lambda m, **kw: sim.dot_product(m, **kw),
+        lambda m, **kw: sim.cosine(m, shrink=5.0, **kw),
+        lambda m, **kw: sim.asymmetric_cosine(m, alpha=0.5, **kw),
+        lambda m, **kw: sim.jaccard(m, **kw),
+        lambda m, **kw: sim.dice(m, **kw),
+        lambda m, **kw: sim.tversky(m, alpha=0.7, beta=0.7, **kw),
+        lambda m, **kw: sim.s_plus(m, l1=0.4, l2=0.6, t1=0.8, t2=0.8,
+                                   c1=0.5, c2=0.5, **kw),
+    ],
+)
+def test_similarities_match_general(monkeypatch, call):
+    monkeypatch.setenv("SIMILARIPY_TPU_SYM_TC", "128")
+    monkeypatch.setenv("SIMILARIPY_TPU_SYM_GT", "2")
+    m = _rand(50, 420, seed=7).T.tocsr()
+    got, ref = _both_paths(call, monkeypatch, m, k=11, verbose=False)
+    np.testing.assert_allclose(check_sum(got), check_sum(ref), rtol=1e-5)
+
+
+def test_cosine_oracle_direct(monkeypatch):
+    """Against the scipy oracle, not just the general path."""
+    monkeypatch.setenv("SIMILARIPY_TPU_SYM_TC", "128")
+    monkeypatch.setenv("SIMILARIPY_TPU_SYM_GT", "2")
+    m = _rand(40, 300, seed=13).T.tocsr()
+    got = sim.cosine(m, k=10, verbose=False)
+    sq = m.multiply(m)
+    norms = np.sqrt(np.asarray(sq.sum(axis=1)).ravel())
+    denom = np.outer(norms, norms)
+    dense = np.asarray((m @ m.T).todense())
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = np.where((denom > 0) & (dense != 0), dense / denom, 0.0)
+    ref = top_k(sp.csr_array(cos), 10)
+    np.testing.assert_allclose(check_sum(got), check_sum(ref), rtol=1e-5)
+
+
+def test_no_duplicate_neighbors(monkeypatch):
+    """The exactly-once delivery proof, empirically: a double-counted
+    band pair would surface as a repeated column id within a row."""
+    monkeypatch.setenv("SIMILARIPY_TPU_SYM_TC", "128")
+    monkeypatch.setenv("SIMILARIPY_TPU_SYM_GT", "2")
+    m = _rand(80, 640, density=0.4, seed=17).T.tocsr()
+    got = sim.dot_product(m, k=30, verbose=False).tocsr()
+    for r in range(got.shape[0]):
+        cols = got.indices[got.indptr[r] : got.indptr[r + 1]]
+        assert len(set(cols.tolist())) == cols.shape[0], f"row {r} has dupes"
+
+
+def test_float32_and_threshold(monkeypatch):
+    monkeypatch.setenv("SIMILARIPY_TPU_SYM_TC", "128")
+    monkeypatch.setenv("SIMILARIPY_TPU_SYM_GT", "2")
+    m = _rand(45, 500, seed=19, integral=False).T.tocsr()
+    got, ref = _both_paths(
+        sim.cosine, monkeypatch, m, k=8, threshold=0.2,
+        compute_dtype="float32", verbose=False,
+    )
+    np.testing.assert_allclose(check_sum(got), check_sum(ref), rtol=1e-5)
+
+
+def test_binary_and_edge_k(monkeypatch):
+    monkeypatch.setenv("SIMILARIPY_TPU_SYM_TC", "128")
+    m = _rand(30, 280, seed=23).T.tocsr()
+    got, ref = _both_paths(
+        sim.jaccard, monkeypatch, m, k=1, binary=True, verbose=False
+    )
+    np.testing.assert_allclose(check_sum(got), check_sum(ref), rtol=1e-6)
+    got, ref = _both_paths(
+        sim.jaccard, monkeypatch, m, k=10_000, binary=True, verbose=False
+    )
+    np.testing.assert_allclose(check_sum(got), check_sum(ref), rtol=1e-6)
+
+
+def test_trailing_empty_rows(monkeypatch):
+    """Self-similarity where the last item rows are empty (ADVICE r1
+    regression shape) through the symmetric path."""
+    monkeypatch.setenv("SIMILARIPY_TPU_SYM_TC", "128")
+    m = _rand(35, 260, seed=29).T.tocsr().tolil()
+    m[258] = 0
+    m[259] = 0
+    m = sp.csr_array(m.tocsr())
+    m.eliminate_zeros()
+    got, ref = _both_paths(sim.cosine, monkeypatch, m, k=7, verbose=False)
+    np.testing.assert_allclose(check_sum(got), check_sum(ref), rtol=1e-6)
+    row = got.tocsr()[[5], :].toarray().ravel()
+    assert abs(row[5] - 1.0) < 1e-5  # self-similarity on the diagonal
+
+
+def _pre(m, **kw):
+    return prep_mod.preprocess(m, m.T, self_similar=True, **kw)
+
+
+def test_eligibility_gates():
+    m = _rand(20, 60, seed=31)
+    params = SPlusParams(a1=1, l1=0, l2=1, l3=0, t1=1, t2=1,
+                         stabilized_shrink=0, bayesian_shrink=0, threshold=0)
+    pre = _pre(m, l2=1.0)
+    assert symmetric_eligible(pre, params, 0)
+    # explicit block size -> general path (reference block_size semantics)
+    assert not symmetric_eligible(pre, params, 64)
+    assert not symmetric_eligible(pre, params, None)
+    # target subset -> general path
+    pre_t = prep_mod.preprocess(m, m.T, l2=1.0, target_rows=[1, 2],
+                                self_similar=True)
+    assert not symmetric_eligible(pre_t, params, 0)
+    # column selectors -> general path
+    pre_f = prep_mod.preprocess(m, m.T, l2=1.0, filter_cols=[3],
+                                self_similar=True)
+    assert not symmetric_eligible(pre_f, params, 0)
+    # not a self-similarity call
+    pre_x = prep_mod.preprocess(m, m.T, l2=1.0)
+    assert not symmetric_eligible(pre_x, params, 0)
+    # asymmetric tversky weights
+    params_asym = SPlusParams(a1=1, l1=1, l2=0, l3=0, t1=0.3, t2=0.9,
+                              stabilized_shrink=0, bayesian_shrink=0,
+                              threshold=0)
+    pre_l1 = _pre(m, l1=1.0)
+    assert not symmetric_eligible(pre_l1, params_asym, 0)
+    # asymmetric cosine exponents produce unequal norm vectors
+    pre_ac = _pre(m, l2=1.0, c1=0.2, c2=0.8)
+    assert not symmetric_eligible(pre_ac, params, 0)
+
+
+def test_asymmetric_params_fall_back_correctly(monkeypatch):
+    """Calls that fail the symmetry gate still produce correct results
+    (through the general path) — end to end."""
+    monkeypatch.setenv("SIMILARIPY_TPU_SYM_TC", "128")
+    m = _rand(40, 200, seed=37).T.tocsr()
+    got = sim.tversky(m, alpha=0.2, beta=0.9, k=9, verbose=False)
+    monkeypatch.setenv("SIMILARIPY_TPU_SYMMETRIC", "0")
+    sim.clear_caches()
+    ref = sim.tversky(m, alpha=0.2, beta=0.9, k=9, verbose=False)
+    np.testing.assert_allclose(check_sum(got), check_sum(ref), rtol=1e-6)
+
+
+def test_target_rows_subset_matches(monkeypatch):
+    monkeypatch.setenv("SIMILARIPY_TPU_SYM_TC", "128")
+    m = _rand(40, 200, seed=41).T.tocsr()
+    full = sim.cosine(m, k=9, verbose=False).tocsr()
+    sub = sim.cosine(m, k=9, target_rows=[4, 9, 77], verbose=False).tocsr()
+    for r in (4, 9, 77):
+        np.testing.assert_allclose(
+            sub[[r], :].toarray(), full[[r], :].toarray(), rtol=1e-6
+        )
