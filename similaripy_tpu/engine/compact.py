@@ -53,6 +53,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.csr import csc_quantized
 from ..utils.env import hbm_budget_bytes
 from .params import SPlusParams
 from .preprocess import Preprocessed
@@ -571,9 +572,9 @@ def execute_compact(
     )
     cached = ex._cache_get(m2_key)
     if cached is None:
-        m2_csc = m2.tocsc()
-        if compute_dtype in ("int8", "int4"):
-            m2_csc.data = np.rint(m2_csc.data * pre.qscale2).astype(np.float32)
+        m2_csc = csc_quantized(
+            m2, pre.qscale2 if compute_dtype in ("int8", "int4") else None
+        )
         col_nnz = np.diff(m2_csc.indptr)
         tile_lists, col_map = ex.balance_columns(col_nnz, n_tiles, tc)
         t_rows, t_cols, t_vals = ex._stack_m2_tiles_balanced(

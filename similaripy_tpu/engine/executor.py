@@ -35,7 +35,9 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+import scipy.sparse as sp
 
+from ..ops.csr import csc_quantized
 from ..utils.env import hbm_budget_bytes
 from .params import SPlusParams
 from .preprocess import Preprocessed
@@ -730,9 +732,13 @@ def resolve_compute_dtype(requested: str, pre: Preprocessed) -> tuple[str, float
     maxv1 = float(np.abs(m1.data).max()) * s1 if m1.nnz else 0.0
     maxv2 = float(np.abs(m2.data).max()) * s2 if m2.nnz else 0.0
     max_row_nnz1 = int(np.diff(m1.indptr).max()) if m1.nnz else 0
-    max_col_nnz2 = (
-        int(np.bincount(m2.indices, minlength=m2.shape[1]).max()) if m2.nnz else 0
-    )
+    if m2.nnz == 0:
+        max_col_nnz2 = 0
+    elif sp.issparse(m2) and m2.format == "csc":
+        # lazy-transpose m2: per-column counts are the indptr diffs
+        max_col_nnz2 = int(np.diff(m2.indptr).max())
+    else:
+        max_col_nnz2 = int(np.bincount(m2.indices, minlength=m2.shape[1]).max())
     overlap = min(max_row_nnz1, max_col_nnz2)
     if maxv1 * maxv2 * max(overlap, 1) >= 2.0**30:
         return "float32", 1.0
@@ -884,10 +890,10 @@ def execute(
     )
     cached = _cache_get(m2_key)
     if cached is None:
-        m2_csc = m2.tocsc()
-        if compute_dtype in ("int8", "int4"):
-            # exact integerization; f32->int8 casts on device are lossless
-            m2_csc.data = np.rint(m2_csc.data * pre.qscale2).astype(np.float32)
+        # exact integerization; f32->int8 casts on device are lossless
+        m2_csc = csc_quantized(
+            m2, pre.qscale2 if compute_dtype in ("int8", "int4") else None
+        )
         col_nnz = np.diff(m2_csc.indptr)
         tile_lists, col_map = balance_columns(col_nnz, n_tiles, tc)
         t_rows, t_cols, t_vals = _stack_m2_tiles_balanced(

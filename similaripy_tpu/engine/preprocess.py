@@ -232,12 +232,20 @@ def preprocess(
     self_similar: bool = False,
 ) -> Preprocessed:
     """Build all device-ready inputs (reference flow: s_plus.pyx:168-346)."""
-    m1 = ensure_csr_f32(matrix1)
-    m2 = ensure_csr_f32(matrix2)
     from .executor import _fingerprint
 
+    m1 = ensure_csr_f32(matrix1)
     fp1 = _fingerprint(m1.indptr, m1.indices, m1.data)
-    fp2 = _fingerprint(m2.indptr, m2.indices, m2.data)
+    if self_similar:
+        # matrix2 is exactly m1.T — keep it a zero-copy CSC transpose
+        # instead of materializing a second CSR (a full O(nnz) transpose
+        # sort per call on big inputs); every executor consumes m2 through
+        # csc_quantized/tocsc, which is then free
+        m2 = m1.T
+        fp2 = fp1 + ":T"
+    else:
+        m2 = ensure_csr_f32(matrix2)
+        fp2 = _fingerprint(m2.indptr, m2.indices, m2.data)
 
     # The O(nnz) artifacts (binary transform, norm vectors, quantization
     # scales) depend only on the matrices + kernel hyperparameters, not on
@@ -260,9 +268,12 @@ def preprocess(
             m1 = sp.csr_array(
                 (np.ones_like(m1.data), m1.indices, m1.indptr), shape=m1.shape
             )
-            m2 = sp.csr_array(
-                (np.ones_like(m2.data), m2.indices, m2.indptr), shape=m2.shape
-            )
+            if self_similar:
+                m2 = m1.T
+            else:
+                m2 = sp.csr_array(
+                    (np.ones_like(m2.data), m2.indices, m2.indptr), shape=m2.shape
+                )
 
         Xt = Yt = Xc = Yc = Xd = Yd = None
         # --- normalization vectors (reference: s_plus.pyx:258-269) ---
@@ -270,11 +281,15 @@ def preprocess(
             m1_sq = sp.csr_array(
                 (m1.data * m1.data, m1.indices, m1.indptr), shape=m1.shape
             )
-            m2_sq = sp.csr_array(
-                (m2.data * m2.data, m2.indices, m2.indptr), shape=m2.shape
-            )
             m1_sq_norms = csr_row_sums(m1_sq)
-            m2_sq_norms = csr_col_sums(m2_sq)
+            if self_similar:
+                # column sums of m1.T**2 == row sums of m1**2
+                m2_sq_norms = m1_sq_norms
+            else:
+                m2_sq = sp.csr_array(
+                    (m2.data * m2.data, m2.indices, m2.indptr), shape=m2.shape
+                )
+                m2_sq_norms = csr_col_sums(m2_sq)
             if l1 != 0.0:
                 Xt, Yt = m1_sq_norms, m2_sq_norms
             if l2 != 0.0:
@@ -360,6 +375,13 @@ def _depop_vector(spec, power: float, m: sp.csr_array, axis: int) -> np.ndarray:
     if spec == "none":
         return np.ones(m.shape[0] if axis == 1 else m.shape[1], dtype=np.float32)
     if spec == "sum":
-        sums = csr_row_sums(m) if axis == 1 else csr_col_sums(m)
+        if axis == 1:
+            sums = csr_row_sums(m)
+        elif isinstance(m, (sp.csc_array, sp.csc_matrix)):
+            # lazy-transpose m2 (self-similarity): column sums of a CSC are
+            # the row sums of its zero-copy CSR transpose
+            sums = csr_row_sums(m.T)
+        else:
+            sums = csr_col_sums(m)
         return np.power(sums, power, dtype=np.float32)
     raise ValueError(f"Invalid depop weight spec: {spec}")

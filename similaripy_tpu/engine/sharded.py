@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
+from ..ops.csr import csc_quantized
 from ..utils.env import hbm_budget_bytes
 from .executor import (
     NEG_INF,
@@ -440,9 +441,9 @@ def _execute_sharded_grouped(
     )
     cached = _cache_get(m2_key)
     if cached is None:
-        m2_csc = m2.tocsc()
-        if compute_dtype in ("int8", "int4"):
-            m2_csc.data = np.rint(m2_csc.data * pre.qscale2).astype(np.float32)
+        m2_csc = csc_quantized(
+            m2, pre.qscale2 if compute_dtype in ("int8", "int4") else None
+        )
         col_nnz = np.diff(m2_csc.indptr)
         tile_lists, col_map = balance_columns(col_nnz, n_tiles, tc)
         t_rows, t_cols, t_vals = _stack_m2_tiles_balanced(
@@ -693,10 +694,11 @@ def _execute_sharded_legacy(
     c_pad = C_sh * c_span
 
     m1_t = m1[targets]
-    m2_csc = m2.tocsc()
+    m2_csc = csc_quantized(
+        m2, pre.qscale2 if compute_dtype in ("int8", "int4") else None
+    )
     if compute_dtype in ("int8", "int4"):
         m1_t.data = np.rint(m1_t.data * pre.qscale1).astype(np.float32)
-        m2_csc.data = np.rint(m2_csc.data * pre.qscale2).astype(np.float32)
 
     # --- per-col-shard m2 tiles, padded to one global nnz bucket ---
     shard_tiles = []

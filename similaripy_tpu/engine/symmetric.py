@@ -55,6 +55,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.csr import csc_quantized
 from ..utils.env import hbm_budget_bytes
 from .params import SPlusParams
 from .preprocess import Preprocessed
@@ -336,9 +337,9 @@ def execute_symmetric(
     )
     cached = _cache_get(prep_key)
     if cached is None:
-        m2_csc = m2.tocsc()
-        if compute_dtype in ("int8", "int4"):
-            m2_csc.data = np.rint(m2_csc.data * pre.qscale2).astype(np.float32)
+        m2_csc = csc_quantized(
+            m2, pre.qscale2 if compute_dtype in ("int8", "int4") else None
+        )
         col_nnz = np.diff(m2_csc.indptr)
         # round-robin by nnz rank over ALL device tiles: the matmul cost is
         # set by Cdev alone, so spreading items into the padding tiles is

@@ -70,6 +70,25 @@ def csr_col_sums(m: sp.csr_array) -> np.ndarray:
     return out.astype(np.float32, copy=False)
 
 
+def csc_quantized(m, qscale=None) -> sp.csc_array:
+    """CSC view of `m`, with data optionally snapped to the int8 grid.
+
+    When `qscale` is given, returns a NEW csc_array sharing `m`'s index
+    structure but carrying rint(data * qscale) — never mutating the input.
+    This matters because ``m`` may be a zero-copy transpose sharing buffers
+    with the caller's matrix (preprocess keeps ``m1.T`` lazy for
+    self-similarity calls), so the old in-place ``m_csc.data = ...`` pattern
+    would corrupt cached inputs.
+    """
+    m_csc = m if isinstance(m, (sp.csc_array, sp.csc_matrix)) else m.tocsc()
+    if qscale is None:
+        return m_csc
+    data = np.rint(m_csc.data * qscale).astype(np.float32)
+    return sp.csc_array(
+        (data, m_csc.indices, m_csc.indptr), shape=m_csc.shape
+    )
+
+
 def pad_to(x: np.ndarray, n: int, fill) -> np.ndarray:
     """Right-pad a 1-D array to length n with `fill`."""
     if x.shape[0] >= n:

@@ -200,6 +200,46 @@ def test_asymmetric_params_fall_back_correctly(monkeypatch):
     np.testing.assert_allclose(check_sum(got), check_sum(ref), rtol=1e-6)
 
 
+def test_lazy_transpose_matches_explicit_matrix2(monkeypatch):
+    """matrix2=None keeps m1.T as a zero-copy CSC; the result must equal
+    the explicit matrix2=m.T call that runs the general two-matrix path."""
+    monkeypatch.setenv("SIMILARIPY_TPU_SYM_TC", "128")
+    m = _rand(40, 300, seed=43).T.tocsr()
+    lazy = sim.cosine(m, k=8, verbose=False)
+    explicit = sim.cosine(m, m.T.tocsr(), k=8, verbose=False)
+    np.testing.assert_allclose(check_sum(lazy), check_sum(explicit), rtol=1e-6)
+
+
+def test_inputs_never_mutated(monkeypatch):
+    """The int8 path snaps data to the quantization grid on a copy; the
+    caller's arrays (shared with the lazy transpose) must stay untouched,
+    and a later float32 call must not see quantized leftovers."""
+    m = _rand(40, 300, seed=47, integral=False).T.tocsr()
+    data_before = m.data.copy()
+
+    sim.cosine(m, k=6, compute_dtype="bfloat16", verbose=False)
+    f32_first = sim.cosine(m, k=6, compute_dtype="float32", verbose=False)
+    np.testing.assert_array_equal(m.data, data_before)
+
+    sim.clear_caches()
+    f32_fresh = sim.cosine(m, k=6, compute_dtype="float32", verbose=False)
+    np.testing.assert_allclose(
+        check_sum(f32_first), check_sum(f32_fresh), rtol=0
+    )
+
+
+def test_quantized_call_does_not_poison_cached_m2(monkeypatch):
+    """int8 call then float32 call on the SAME cached matrices: the int8
+    quantization must not leak into the cached m2 (csc_quantized copies)."""
+    monkeypatch.setenv("SIMILARIPY_TPU_SYM_TC", "128")
+    m = _rand(40, 300, seed=53).T.tocsr()  # integral -> auto int8
+    sim.cosine(m, k=6, verbose=False)  # arms + caches the int8 artifacts
+    warm = sim.cosine(m, k=6, compute_dtype="float32", verbose=False)
+    sim.clear_caches()
+    cold = sim.cosine(m, k=6, compute_dtype="float32", verbose=False)
+    np.testing.assert_allclose(check_sum(warm), check_sum(cold), rtol=0)
+
+
 def test_target_rows_subset_matches(monkeypatch):
     monkeypatch.setenv("SIMILARIPY_TPU_SYM_TC", "128")
     m = _rand(40, 200, seed=41).T.tocsr()
