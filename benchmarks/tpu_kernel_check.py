@@ -1,0 +1,210 @@
+"""Real-TPU validation sweep for the fused Pallas kernels.
+
+Interpret mode does NOT catch Mosaic failures (round 1 found sub-word
+vector compares and bf16 precision args only on hardware; round 2 the
+1-D int8 gather returned wrong data silently). This script is the
+recorded hardware sweep: it drives every fused-kernel family through the
+public API on the REAL TPU backend and checks each against the XLA path
+(bit-exact for int8, tolerance for floats).
+
+Run (takes ~15-30 min cold through the axon tunnel — compiles dominate):
+
+    python benchmarks/tpu_kernel_check.py            # full sweep
+    SIMILARIPY_KC_QUICK=1 python benchmarks/tpu_kernel_check.py
+
+Families covered:
+  - fused_sym_topk (symmetric executor): epilogue variants x dtypes
+  - fused_tile_topk (general executor): target_rows forces the general
+    path; int8 + float32
+  - probe: Mosaic dot_general with a transposed-lhs contraction (the
+    unified-orientation design needs lhs (K, M) blocks contracted on
+    dim 0 — unproven on Mosaic, probed here before any executor uses it)
+
+Exit code 0 = all variants match. Any mismatch prints FAIL and exits 1.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+os.environ.setdefault("SIMILARIPY_TPU_TIMING", "0")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import scipy.sparse as sp
+
+
+def row_values_rel(got, ref) -> float:
+    """Max relative difference between per-row SORTED value sets.
+
+    Tie-insensitive: when scores tie at the k boundary the two paths may
+    keep different (equally-scored) columns — the reference's heap breaks
+    ties arbitrarily too — so indices are not comparable, but the sorted
+    kept values must agree (exactly, for the int8 path)."""
+    g, r = got.tocsr(), ref.tocsr()
+    assert g.shape == r.shape and g.nnz == r.nnz
+    worst = 0.0
+    for i in range(g.shape[0]):
+        gv = np.sort(g.data[g.indptr[i]:g.indptr[i + 1]])
+        rv = np.sort(r.data[r.indptr[i]:r.indptr[i + 1]])
+        if gv.shape != rv.shape:
+            return float("inf")
+        denom = np.maximum(np.abs(rv), 1e-30)
+        if gv.shape[0]:
+            worst = max(worst, float(np.max(np.abs(gv - rv) / denom)))
+    return worst
+
+
+def _probe_transposed_lhs(dtype: str):
+    """Mosaic probe: dot_general contracting lhs dim 0 ((K,M)^T @ (K,N)).
+
+    The unified-orientation symmetric executor wants anchor tiles kept in
+    rhs orientation and contracted on the user axis directly — legal in
+    XLA everywhere, but Mosaic's matmul lowering must be proven per dtype
+    (round 1: bf16 rejected precision args; sub-word quirks abound)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    K, M, N = 512, 256, 1024
+    dn = (((0,), (0,)), ((), ()))
+    acc = jnp.int32 if dtype == "int8" else jnp.float32
+
+    def kern(a_ref, b_ref, o_ref):
+        if dtype == "float32":
+            o_ref[:] = jax.lax.dot_general(
+                a_ref[:], b_ref[:], dn, preferred_element_type=acc,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        else:
+            o_ref[:] = jax.lax.dot_general(
+                a_ref[:], b_ref[:], dn, preferred_element_type=acc
+            )
+
+    rng = np.random.default_rng(0)
+    a_i = rng.integers(-5, 6, (K, M))
+    b_i = rng.integers(-5, 6, (K, N))
+    np_dt = {"int8": np.int8, "bfloat16": np.float32,
+             "float32": np.float32}[dtype]
+    a, b = a_i.astype(np_dt), b_i.astype(np_dt)
+    ja = jnp.asarray(a).astype(jnp.bfloat16) if dtype == "bfloat16" else jnp.asarray(a)
+    jb = jnp.asarray(b).astype(jnp.bfloat16) if dtype == "bfloat16" else jnp.asarray(b)
+    try:
+        out = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((M, N), acc),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024
+            ),
+        )(ja, jb)
+        # |values| <= 5, overlap <= 512: exact in every mode
+        ref = a_i.T @ b_i
+        ok = bool(np.array_equal(np.asarray(out).astype(np.int64), ref))
+        return ("ok" if ok else "WRONG DATA"), ok
+    except Exception as e:  # Mosaic rejection is a finding, not a crash
+        return f"rejected: {type(e).__name__}: {e}", False
+
+
+def main():
+    quick = os.environ.get("SIMILARIPY_KC_QUICK") == "1"
+
+    import jax
+
+    if os.environ.get("SIMILARIPY_KC_CPU") == "1":
+        # hermetic smoke mode: the axon sitecustomize overrides
+        # JAX_PLATFORMS, so force the platform through the config
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update(
+        "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+    )
+    import similaripy_tpu as sim
+
+    print(f"backend: {jax.default_backend()}", flush=True)
+
+    for dt in ("int8", "bfloat16", "float32"):
+        name, ok = _probe_transposed_lhs(dt)
+        print(f"probe transposed-lhs dot_general [{dt}]: {name}", flush=True)
+
+    rng = np.random.default_rng(0)
+    C, U = (3000, 1500) if quick else (6144, 3000)
+    m = sp.random_array((C, U), density=0.01, format="csr",
+                        dtype=np.float32, random_state=rng)
+    m.data[:] = np.round(m.data * 4) + 1.0  # integral -> auto int8
+    mf = m.copy()
+    mf.data = mf.data + 0.123  # non-integral -> float paths
+
+    os.environ["SIMILARIPY_TPU_SYM_TC"] = "2048"
+    os.environ["SIMILARIPY_TPU_SYM_GT"] = "2"
+
+    sym_variants = [
+        ("sym cosine int8", lambda: sim.cosine(m, k=50, verbose=False), 0),
+        ("sym dot int8", lambda: sim.dot_product(m, k=50, verbose=False), 0),
+        ("sym splus full int8",
+         lambda: sim.s_plus(m, l1=0.4, l2=0.6, t1=0.8, t2=0.8, c1=0.4,
+                            c2=0.4, l3=0.2, shrink=2.0,
+                            shrink_type="stabilized", threshold=0.001,
+                            k=50, verbose=False), 1e-5),
+        ("sym jaccard binary",
+         lambda: sim.jaccard(m, k=50, binary=True, verbose=False), 0),
+        ("sym cosine f32",
+         lambda: sim.cosine(mf, k=50, compute_dtype="float32",
+                            verbose=False), 1e-5),
+        ("sym cosine bf16",
+         lambda: sim.cosine(m, k=50, compute_dtype="bfloat16",
+                            verbose=False), 5e-2),
+    ]
+    gen_variants = [
+        ("gen cosine int8 (target_rows)",
+         lambda: sim.cosine(m, k=50, verbose=False,
+                            target_rows=np.arange(0, C, 2)), 0),
+        ("gen cosine f32 (target_rows)",
+         lambda: sim.cosine(mf, k=50, compute_dtype="float32", verbose=False,
+                            target_rows=np.arange(0, C, 2)), 1e-5),
+    ]
+    if quick:
+        sym_variants = sym_variants[:2]
+        gen_variants = gen_variants[:1]
+
+    failures = []
+    for label, call, tol in sym_variants + gen_variants:
+        os.environ["SIMILARIPY_TPU_USE_PALLAS"] = "1"
+        sim.clear_caches()
+        t0 = time.time()
+        got = call()
+        t_pal = time.time() - t0
+        os.environ["SIMILARIPY_TPU_USE_PALLAS"] = "0"
+        sim.clear_caches()
+        t0 = time.time()
+        ref = call()
+        t_xla = time.time() - t0
+        rel = row_values_rel(got, ref)
+        match = (rel == 0.0) if tol == 0 else (rel <= tol)
+        gotc = got.tocsr()
+        dupes = any(
+            len(set(gotc.indices[gotc.indptr[r]:gotc.indptr[r + 1]].tolist()))
+            != gotc.indptr[r + 1] - gotc.indptr[r]
+            for r in range(0, gotc.shape[0], 97)
+        )
+        status = "ok" if (match and not dupes) else "FAIL"
+        if status == "FAIL":
+            failures.append(label)
+        print(
+            f"{status:4s} {label:34s} rel={rel:.2e} nnz {got.nnz}/{ref.nnz} "
+            f"dupes={dupes} pallas {t_pal:.1f}s / xla {t_xla:.1f}s",
+            flush=True,
+        )
+    del os.environ["SIMILARIPY_TPU_USE_PALLAS"]
+
+    if failures:
+        print(f"FAILED: {failures}", flush=True)
+        sys.exit(1)
+    print("all kernel variants match", flush=True)
+
+
+if __name__ == "__main__":
+    main()

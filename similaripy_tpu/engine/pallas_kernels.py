@@ -45,6 +45,65 @@ KB = int(os.environ.get("SIMILARIPY_TPU_KB", 512))  # inner (user) dim per block
 DEFAULT_TC = int(os.environ.get("SIMILARIPY_TPU_TC", 4096))  # column-tile width
 
 
+def _epilogue_val(
+    xy_acc,
+    pvec_ref,
+    flags: tuple,
+    int8_mode: bool,
+    xt_ref,
+    xc_ref,
+    xd_ref,
+    yt_ref,
+    yc_ref,
+    yd_ref,
+    extra_candidate=None,
+):
+    """Shared S-Plus epilogue on a VMEM xy block (reference: s_plus.h:129-156).
+
+    Returns the score block with non-candidates / sub-threshold cells at
+    -inf. `extra_candidate` folds in selector masks (already widened to a
+    bool/int32 predicate — Mosaic lacks sub-word vector compares)."""
+    use_l1, use_l2, use_l3, use_pow, use_bayes, use_denominator = flags
+    a1 = pvec_ref[0, 0]
+    l1 = pvec_ref[0, 1]
+    l2 = pvec_ref[0, 2]
+    l3 = pvec_ref[0, 3]
+    t1 = pvec_ref[0, 4]
+    t2 = pvec_ref[0, 5]
+    stab = pvec_ref[0, 6]
+    bayes = pvec_ref[0, 7]
+    threshold = pvec_ref[0, 8]
+    inv_scale = pvec_ref[0, 9]
+
+    xy = xy_acc.astype(jnp.float32)
+    if int8_mode:
+        xy = xy * inv_scale
+
+    candidate = xy != 0.0
+    if extra_candidate is not None:
+        candidate = jnp.logical_and(candidate, extra_candidate)
+
+    xy_p = jnp.power(xy, a1) if use_pow else xy
+    if use_denominator:
+        denom = jnp.full_like(xy, stab)
+        if use_l1:
+            denom = denom + l1 * (
+                t1 * (xt_ref[:] - xy) + t2 * (yt_ref[:] - xy) + xy
+            )
+        if use_l2:
+            denom = denom + l2 * (xc_ref[:] * yc_ref[:])
+        if use_l3:
+            denom = denom + l3 * (xd_ref[:] * yd_ref[:])
+        val = jnp.where(denom != 0.0, xy_p / denom, 0.0)
+        if use_bayes:
+            val = val * (xy_p / (xy_p + bayes))
+    else:
+        val = xy  # raw un-powered product (s_plus.h:131,144)
+
+    keep = jnp.logical_and(candidate, val >= threshold)
+    return jnp.where(keep, val, NEG_INF)
+
+
 def _kernel(
     pvec_ref,  # SMEM (1, 16): a1 l1 l2 l3 t1 t2 stab bayes thr inv_scale col_base
     a_ref,  # (TM, KB) cdt
@@ -95,59 +154,24 @@ def _kernel(
 
     @pl.when(kk == n_k - 1)
     def _():
-        use_l1, use_l2, use_l3, use_pow, use_bayes, use_denominator = flags
-        a1 = pvec_ref[0, 0]
-        l1 = pvec_ref[0, 1]
-        l2 = pvec_ref[0, 2]
-        l3 = pvec_ref[0, 3]
-        t1 = pvec_ref[0, 4]
-        t2 = pvec_ref[0, 5]
-        stab = pvec_ref[0, 6]
-        bayes = pvec_ref[0, 7]
-        threshold = pvec_ref[0, 8]
-        inv_scale = pvec_ref[0, 9]
         col_base = pvec_ref[0, 10].astype(jnp.int32)
 
-        xy = xy_ref[:].astype(jnp.float32)
-        if int8_mode:
-            xy = xy * inv_scale
-
-        candidate = xy != 0.0
         # masks arrive as uint8; Mosaic lacks sub-word vector compares, so
         # widen to int32 before testing
+        extra = None
         if has_allowed:
-            candidate = jnp.logical_and(
-                candidate, allowed_ref[:].astype(jnp.int32) != 0
-            )
+            extra = allowed_ref[:].astype(jnp.int32) != 0
         if has_filter:
-            candidate = jnp.logical_and(
-                candidate, fmask_ref[:].astype(jnp.int32) == 0
-            )
+            f_ok = fmask_ref[:].astype(jnp.int32) == 0
+            extra = f_ok if extra is None else jnp.logical_and(extra, f_ok)
         if has_target:
-            candidate = jnp.logical_and(
-                candidate, tmask_ref[:].astype(jnp.int32) != 0
-            )
+            t_ok = tmask_ref[:].astype(jnp.int32) != 0
+            extra = t_ok if extra is None else jnp.logical_and(extra, t_ok)
 
-        # ---- S-Plus epilogue (reference: s_plus.h:129-156) ----
-        xy_p = jnp.power(xy, a1) if use_pow else xy
-        if use_denominator:
-            denom = jnp.full_like(xy, stab)
-            if use_l1:
-                denom = denom + l1 * (
-                    t1 * (xt_ref[:] - xy) + t2 * (yt_ref[:] - xy) + xy
-                )
-            if use_l2:
-                denom = denom + l2 * (xc_ref[:] * yc_ref[:])
-            if use_l3:
-                denom = denom + l3 * (xd_ref[:] * yd_ref[:])
-            val = jnp.where(denom != 0.0, xy_p / denom, 0.0)
-            if use_bayes:
-                val = val * (xy_p / (xy_p + bayes))
-        else:
-            val = xy  # raw un-powered product (s_plus.h:131,144)
-
-        keep = jnp.logical_and(candidate, val >= threshold)
-        val = jnp.where(keep, val, NEG_INF)
+        val = _epilogue_val(
+            xy_ref[:], pvec_ref, flags, int8_mode,
+            xt_ref, xc_ref, xd_ref, yt_ref, yc_ref, yd_ref, extra,
+        )
 
         # ---- exact top-k_pad by iterative extraction (replaces the heap,
         # s_plus.h:39-64): k_pad sequential max/argmax passes over the
@@ -223,56 +247,22 @@ def _panel_kernel(
 
     @pl.when(kk == n_k - 1)
     def _():
-        use_l1, use_l2, use_l3, use_pow, use_bayes, use_denominator = flags
-        a1 = pvec_ref[0, 0]
-        l1 = pvec_ref[0, 1]
-        l2 = pvec_ref[0, 2]
-        l3 = pvec_ref[0, 3]
-        t1 = pvec_ref[0, 4]
-        t2 = pvec_ref[0, 5]
-        stab = pvec_ref[0, 6]
-        bayes = pvec_ref[0, 7]
-        threshold = pvec_ref[0, 8]
-        inv_scale = pvec_ref[0, 9]
         col_base = pvec_ref[0, 10].astype(jnp.int32) + t * tc
 
-        xy = xy_ref[:].astype(jnp.float32)
-        if int8_mode:
-            xy = xy * inv_scale
-
-        candidate = xy != 0.0
+        extra = None
         if has_allowed:
-            candidate = jnp.logical_and(
-                candidate, allowed_ref[:].astype(jnp.int32) != 0
-            )
+            extra = allowed_ref[:].astype(jnp.int32) != 0
         if has_filter:
-            candidate = jnp.logical_and(
-                candidate, fmask_ref[:].astype(jnp.int32) == 0
-            )
+            f_ok = fmask_ref[:].astype(jnp.int32) == 0
+            extra = f_ok if extra is None else jnp.logical_and(extra, f_ok)
         if has_target:
-            candidate = jnp.logical_and(
-                candidate, tmask_ref[:].astype(jnp.int32) != 0
-            )
+            t_ok = tmask_ref[:].astype(jnp.int32) != 0
+            extra = t_ok if extra is None else jnp.logical_and(extra, t_ok)
 
-        xy_p = jnp.power(xy, a1) if use_pow else xy
-        if use_denominator:
-            denom = jnp.full_like(xy, stab)
-            if use_l1:
-                denom = denom + l1 * (
-                    t1 * (xt_ref[:] - xy) + t2 * (yt_ref[:] - xy) + xy
-                )
-            if use_l2:
-                denom = denom + l2 * (xc_ref[:] * yc_ref[:])
-            if use_l3:
-                denom = denom + l3 * (xd_ref[:] * yd_ref[:])
-            val = jnp.where(denom != 0.0, xy_p / denom, 0.0)
-            if use_bayes:
-                val = val * (xy_p / (xy_p + bayes))
-        else:
-            val = xy
-
-        keep = jnp.logical_and(candidate, val >= threshold)
-        val = jnp.where(keep, val, NEG_INF)
+        val = _epilogue_val(
+            xy_ref[:], pvec_ref, flags, int8_mode,
+            xt_ref, xc_ref, xd_ref, yt_ref, yc_ref, yd_ref, extra,
+        )
 
         cols = jax.lax.broadcasted_iota(jnp.int32, (tm, tc), 1)
 
@@ -496,3 +486,223 @@ def fused_tile_topk(
         interpret=interpret,
     )(pvec_ext.reshape(1, 16), *args)
     return vals, idx
+
+
+def _sym_kernel(
+    pvec_ref,  # SMEM (1, 16): [0-9] standard, [10]=col_base (t*tc slot),
+    #            [11]=row_base (a0*tc slot), [12]=t (tile id), [13]=a0 tile
+    a_ref,  # (TM, KB) cdt — anchor row block
+    d_ref,  # (KB, TC) cdt — inner tile
+    xt_ref,  # (TM, 1) f32
+    xc_ref,
+    xd_ref,
+    yt_ref,  # (1, TC) f32
+    yc_ref,
+    yd_ref,
+    rvals_ref,  # (k_pad, TM) f32 — row-side top-k of this block
+    ridx_ref,  # (k_pad, TM) i32
+    cvals_ref,  # (k_pad, TC) f32 — col-side accumulator (revisited: constant
+    cidx_ref,  # (k_pad, TC) i32    index map keeps it VMEM-resident)
+    xy_ref,  # scratch (TM, TC) acc
+    *,
+    flags: tuple,
+    int8_mode: bool,
+    prec,
+    k_pad_r: int,  # row-side depth: min(k, tc) candidates exist per tile
+    k_pad_c: int,  # col-side depth: min(k, sw) candidate rows per column
+    tm: int,
+    tc: int,
+):
+    """Self-similarity block: one MXU pass feeds BOTH top-K directions.
+
+    For anchor rows x inner tile t of the upper block triangle
+    (engine/symmetric.py), the score block serves two deliveries:
+      row side  (tile(row) <= t): tile t's columns into the anchors' lists;
+      col side  (tile(row) <  t): the anchors as candidates into tile t's
+                                  per-column lists.
+    TM divides tc, so tile(row) is constant within a block — the masks
+    reduce to scalar program-id predicates, and the strictly-lower col
+    merge is skipped entirely on diagonal blocks (pl.when).
+
+    The col-side carry lives in the (k_pad, TC) output block itself: its
+    index map is constant across the grid, so Pallas keeps it in VMEM for
+    the whole kernel and each row block merges into it with an iterative
+    axis-0 extraction (manual argmax via compare+min — axis-0 argmax
+    lowering is unproven on Mosaic, first-index tie-break preserved).
+    """
+    m = pl.program_id(0)
+    kk = pl.program_id(1)
+    n_k = pl.num_programs(1)
+
+    @pl.when(jnp.logical_and(m == 0, kk == 0))
+    def _():
+        cvals_ref[:] = jnp.full_like(cvals_ref, NEG_INF)
+        cidx_ref[:] = jnp.zeros_like(cidx_ref)
+
+    @pl.when(kk == 0)
+    def _():
+        xy_ref[:] = jnp.zeros_like(xy_ref)
+
+    if int8_mode:
+        xy_ref[:] += jnp.dot(a_ref[:], d_ref[:], preferred_element_type=jnp.int32)
+    elif a_ref.dtype == jnp.bfloat16:
+        xy_ref[:] += jnp.dot(a_ref[:], d_ref[:], preferred_element_type=jnp.float32)
+    else:
+        xy_ref[:] += jnp.dot(
+            a_ref[:], d_ref[:], preferred_element_type=jnp.float32, precision=prec
+        )
+
+    @pl.when(kk == n_k - 1)
+    def _():
+        col_base = pvec_ref[0, 10].astype(jnp.int32)
+        row_base = pvec_ref[0, 11].astype(jnp.int32)
+        t_tile = pvec_ref[0, 12].astype(jnp.int32)
+        a0_tile = pvec_ref[0, 13].astype(jnp.int32)
+        rt = a0_tile + (m * tm) // tc  # this block's row tile (constant)
+
+        val = _epilogue_val(
+            xy_ref[:], pvec_ref, flags, int8_mode,
+            xt_ref, xc_ref, xd_ref, yt_ref, yc_ref, yd_ref, None,
+        )
+
+        # ---- row side: anchors gain tile t's columns iff rt <= t ----
+        val_row = jnp.where(rt <= t_tile, val, NEG_INF)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (tm, tc), 1)
+
+        def row_body(i, v):
+            mx = jnp.max(v, axis=1)
+            am = jnp.argmax(v, axis=1).astype(jnp.int32)
+            rvals_ref[pl.ds(i, 1), :] = mx[None, :]
+            ridx_ref[pl.ds(i, 1), :] = (am + col_base)[None, :]
+            return jnp.where(cols == am[:, None], NEG_INF, v)
+
+        jax.lax.fori_loop(0, k_pad_r, row_body, val_row)
+
+        # ---- col side: tile t's columns gain the anchors iff rt < t ----
+        @pl.when(rt < t_tile)
+        def _():
+            ids_new = (row_base + m * tm) + jax.lax.broadcasted_iota(
+                jnp.int32, (tm, tc), 0
+            )
+            v = jnp.concatenate([cvals_ref[:], val], axis=0)  # (k_pad_c+TM, tc)
+            ids = jnp.concatenate([cidx_ref[:], ids_new], axis=0)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (k_pad_c + tm, tc), 0)
+            big = jnp.int32(k_pad_c + tm)
+
+            def col_body(i, v):
+                mx = jnp.max(v, axis=0)
+                # manual first-index argmax along the sublane axis
+                am = jnp.min(
+                    jnp.where(v == mx[None, :], rows, big), axis=0
+                )
+                cvals_ref[pl.ds(i, 1), :] = mx[None, :]
+                cidx_ref[pl.ds(i, 1), :] = jnp.max(
+                    jnp.where(rows == am[None, :], ids, -1), axis=0
+                )[None, :]
+                return jnp.where(rows == am[None, :], NEG_INF, v)
+
+            jax.lax.fori_loop(0, k_pad_c, col_body, v)
+
+
+def fused_sym_topk(
+    a,  # (sw, u_pad) cdt — anchor row stack (lhs orientation)
+    d,  # (u_pad, tc) cdt — inner tile
+    x_t,  # (sw,) f32
+    x_c,
+    x_d,
+    y_t,  # (tc,) f32
+    y_c,
+    y_d,
+    pvec_ext,  # (16,) f32 — build_pvec + [10]=col_base [11]=row_base
+    #            [12]=tile id [13]=anchor tile
+    *,
+    flags: tuple,
+    k: int,
+    tc: int,
+    int8_mode: bool,
+    precision,
+    interpret: bool = False,
+):
+    """Dual-sided fused similarity top-K for the symmetric executor.
+
+    Returns (rvals (k_pad_r, sw), ridx, cvals (k_pad_c, tc), cidx):
+    per-anchor-row top-k_pad_r of tile t (sorted desc, ids in slot space
+    via col_base) and per-tile-column top-k_pad_c over all anchor rows
+    with tile(row) < t (ids in slot space via row_base). The two depths
+    differ because each side sees a different candidate pool: a tile has
+    tc columns, an anchor stack sw rows — both padded to min(k, pool).
+    Replaces the XLA chain [matmul -> epilogue -> transpose -> 2x
+    hierarchical top_k] with one MXU pass whose scores never leave VMEM."""
+    sw, u_pad = a.shape
+    k_pad_r = -(-min(k, tc) // 8) * 8
+    k_pad_c = -(-min(k, sw) // 8) * 8
+    # blocks must not straddle an anchor row-tile boundary (rt constancy):
+    # tc is always a multiple of 128, so fall back to 128-row blocks when
+    # the preferred TM does not divide the tile width
+    tm = TM if TM <= tc and tc % TM == 0 else 128
+    assert sw % tm == 0 and u_pad % KB == 0 and d.shape[1] == tc, (sw, u_pad)
+    assert tc % tm == 0, (tc, tm)
+
+    if precision == jax.lax.Precision.HIGH:
+        precision = jax.lax.Precision.HIGHEST
+
+    grid = (sw // tm, u_pad // KB)
+    acc_dtype = jnp.int32 if int8_mode else jnp.float32
+
+    in_specs = [
+        pl.BlockSpec((tm, KB), lambda m, kk: (m, kk)),
+        pl.BlockSpec((KB, tc), lambda m, kk: (kk, 0)),
+    ]
+    in_specs += [pl.BlockSpec((tm, 1), lambda m, kk: (m, 0))] * 3
+    in_specs += [pl.BlockSpec((1, tc), lambda m, kk: (0, 0))] * 3
+
+    kernel = partial(
+        _sym_kernel,
+        flags=flags,
+        int8_mode=int8_mode,
+        prec=precision,
+        k_pad_r=k_pad_r,
+        k_pad_c=k_pad_c,
+        tm=tm,
+        tc=tc,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, 16), lambda m, kk: (0, 0), memory_space=pltpu.SMEM)]
+        + in_specs,
+        out_specs=[
+            pl.BlockSpec((k_pad_r, tm), lambda m, kk: (0, m)),
+            pl.BlockSpec((k_pad_r, tm), lambda m, kk: (0, m)),
+            pl.BlockSpec((k_pad_c, tc), lambda m, kk: (0, 0)),
+            pl.BlockSpec((k_pad_c, tc), lambda m, kk: (0, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((tm, tc), acc_dtype)],
+    )
+
+    rvals, ridx, cvals, cidx = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((k_pad_r, sw), jnp.float32),
+            jax.ShapeDtypeStruct((k_pad_r, sw), jnp.int32),
+            jax.ShapeDtypeStruct((k_pad_c, tc), jnp.float32),
+            jax.ShapeDtypeStruct((k_pad_c, tc), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        pvec_ext.reshape(1, 16),
+        a,
+        d,
+        x_t.reshape(sw, 1),
+        x_c.reshape(sw, 1),
+        x_d.reshape(sw, 1),
+        y_t.reshape(1, tc),
+        y_c.reshape(1, tc),
+        y_d.reshape(1, tc),
+    )
+    return rvals, ridx, cvals, cidx

@@ -31,12 +31,17 @@ way:
     sweep tiles to their right), so their packed readback streams
     host-ward asynchronously UNDER the next pair's compute.
 
-The result is identical to the general path: same epilogue
-(executor.splus_epilogue), same exact hierarchical top-K merge
-(executor.topk_merge), same candidate semantics (xy != 0). Eligibility is
-conservative (symmetric_eligible): value symmetry requires matrix2 to be
-matrix1.T with mirrored normalization vectors and t1 == t2; row/column
-selectors and target subsets fall back to the general executor.
+On TPU the per-block work runs through the dual-sided fused kernel
+(pallas_kernels.fused_sym_topk): one MXU pass computes the block, applies
+the S-Plus epilogue and extracts BOTH directions' top-k_pad without the
+scores ever leaving VMEM — what remains here is two cheap (rows, k+k_pad)
+merges into the global carry. Off-TPU (or SIMILARIPY_TPU_USE_PALLAS=0)
+the XLA chain [dot -> epilogue -> transpose -> hierarchical top_k] runs
+instead. Either way the result is identical to the general path: same
+epilogue math, same candidate semantics (xy != 0), exact top-K.
+Eligibility is conservative (symmetric_eligible): value symmetry requires
+matrix2 to be matrix1.T with mirrored normalization vectors and t1 == t2;
+row/column selectors and target subsets fall back to the general executor.
 
 Reference parity: this replaces the same work as the reference's blocked
 Gustavson loop (s_plus.h:358-410) for the ``matrix2=None`` call family —
@@ -196,7 +201,7 @@ def _densify_lhs(slots, users, vals, *, tc: int, u_pad: int,
     jax.jit,
     static_argnames=(
         "flags", "k", "gt", "tc", "u_pad", "cs", "n_anchors",
-        "compute_dtype", "precision",
+        "compute_dtype", "precision", "use_pallas",
     ),
     donate_argnums=(2, 3),
 )
@@ -216,12 +221,17 @@ def _sweep_chunk(
     n_anchors: int,
     compute_dtype: str,
     precision: str,
+    use_pallas: bool,
 ):
     """cs inner tiles x n_anchors resident row blocks, one dispatch.
 
-    Each step scatters one rhs tile and, per anchor: MXU block matmul,
-    S-Plus epilogue, row-side and (transposed) col-side exact top-K merges
-    into the global carry. Delivery masks as per the module docstring.
+    Each step scatters one rhs tile and, per anchor, computes the score
+    block and merges it into the global carry on both sides (delivery
+    masks as per the module docstring). With `use_pallas` the block goes
+    through fused_sym_topk — matmul, epilogue and BOTH per-direction
+    top-k_pad extractions in one kernel whose scores never leave VMEM —
+    leaving only two cheap (rows, k + k_pad) merges here. Without it, the
+    XLA chain (dot -> epilogue -> transpose -> hierarchical top_k) runs.
     """
     from .executor import compute_cast, densify, splus_epilogue, topk_merge
 
@@ -233,6 +243,7 @@ def _sweep_chunk(
     }[precision]
     sw = gt * tc
     int_mode = compute_dtype in ("int8", "int4")
+    interpret = jax.default_backend() != "tpu"
 
     def step(carry, xs):
         cv, ci = carry
@@ -241,6 +252,49 @@ def _sweep_chunk(
         base_t = t * tc
         for a in anchors:
             lhs = a["lhs"].reshape(sw, u_pad)
+            base_a = a["a0"] * tc
+
+            if use_pallas:
+                from .pallas_kernels import fused_sym_topk
+
+                pvec_ext = jnp.concatenate(
+                    [
+                        pvec,
+                        base_t.astype(jnp.float32).reshape(1),
+                        base_a.astype(jnp.float32).reshape(1),
+                        t.astype(jnp.float32).reshape(1),
+                        a["a0"].astype(jnp.float32).reshape(1),
+                        jnp.zeros(2, jnp.float32),
+                    ]
+                )
+                rvals, ridx, cvals, cidx = fused_sym_topk(
+                    lhs, d, a["xt"], a["xc"], a["xd"],
+                    xs["y_t"], xs["y_c"], xs["y_d"], pvec_ext,
+                    flags=flags, k=k, tc=tc,
+                    int8_mode=int_mode, precision=prec,
+                    interpret=interpret,
+                )
+                # row side: merge the block's sorted top-k_pad into the carry
+                cv_a = jax.lax.dynamic_slice(cv, (base_a, 0), (sw, k))
+                ci_a = jax.lax.dynamic_slice(ci, (base_a, 0), (sw, k))
+                all_v = jnp.concatenate([cv_a, rvals.T], axis=1)
+                all_i = jnp.concatenate([ci_a, ridx.T], axis=1)
+                nv, pos = jax.lax.top_k(all_v, k)
+                ni = jnp.take_along_axis(all_i, pos, axis=1)
+                cv = jax.lax.dynamic_update_slice(cv, nv, (base_a, 0))
+                ci = jax.lax.dynamic_update_slice(ci, ni, (base_a, 0))
+
+                # col side: per-column top-k_pad over the strict-lower rows
+                cv_t = jax.lax.dynamic_slice(cv, (base_t, 0), (tc, k))
+                ci_t = jax.lax.dynamic_slice(ci, (base_t, 0), (tc, k))
+                all_v2 = jnp.concatenate([cv_t, cvals.T], axis=1)
+                all_i2 = jnp.concatenate([ci_t, cidx.T], axis=1)
+                nv2, pos2 = jax.lax.top_k(all_v2, k)
+                ni2 = jnp.take_along_axis(all_i2, pos2, axis=1)
+                cv = jax.lax.dynamic_update_slice(cv, nv2, (base_t, 0))
+                ci = jax.lax.dynamic_update_slice(ci, ni2, (base_t, 0))
+                continue
+
             xy = jnp.dot(lhs, d, preferred_element_type=acc, precision=prec)
             if int_mode:
                 xy = xy.astype(jnp.float32) * pvec[9]
@@ -252,7 +306,6 @@ def _sweep_chunk(
             row_tile = a["a0"] + jax.lax.broadcasted_iota(
                 jnp.int32, (sw, 1), 0
             ) // tc
-            base_a = a["a0"] * tc
 
             # row side: anchor rows gain tile t's columns (tile(row) <= t)
             rv = jnp.where(row_tile <= t, val, NEG_INF)
@@ -323,6 +376,32 @@ def execute_symmetric(
     compute_dtype, inv_scale = resolve_compute_dtype(compute_dtype, pre)
     budget = budget_bytes if budget_bytes is not None else hbm_budget_bytes()
     tc, gt, u_pad, dual = _plan(C, U, m2.nnz, compute_dtype, budget)
+
+    # fused dual-sided kernel (pallas_kernels.fused_sym_topk): same gating
+    # as the general executor — HIGH-precision f32 stays on XLA (real
+    # bf16x3 beats Mosaic's forced HIGHEST), very large k falls back to
+    # the sort-based top_k (one extraction pass per kept value otherwise)
+    from .executor import _pallas_enabled
+
+    use_pallas = _pallas_enabled()
+    if compute_dtype == "float32" and precision == "high":
+        use_pallas = False
+    k_pad = k
+    if use_pallas:
+        from .pallas_kernels import KB
+
+        k_pad = max(
+            _round_up(min(k, tc), 8),  # row-side depth
+            _round_up(min(k, gt * tc), 8),  # col-side depth
+        )
+        if k_pad > 1024:
+            # one extraction pass per kept value: beyond ~1024 the XLA
+            # sort-based top_k wins (same cutover as the general executor)
+            use_pallas = False
+            k_pad = k
+        else:
+            u_pad = _round_up(u_pad, KB)
+
     n_tiles = math.ceil(C / tc)
     n_groups = math.ceil(n_tiles / gt)
     n_tiles_dev = n_groups * gt
@@ -333,7 +412,7 @@ def execute_symmetric(
     prep_key = (
         "sym", pre.fp2,
         _fingerprint(pre.Yt, pre.Yc, pre.Yd),
-        compute_dtype, tc, n_tiles_dev,
+        compute_dtype, tc, n_tiles_dev, u_pad,
     )
     cached = _cache_get(prep_key)
     if cached is None:
@@ -384,6 +463,7 @@ def execute_symmetric(
         print(
             f"# sym plan: tc={tc} gt={gt} u_pad={u_pad} n_tiles={n_tiles_dev} "
             f"n_groups={n_groups} dual={dual} dtype={compute_dtype} "
+            f"pallas={use_pallas} k_pad={k_pad} "
             f"prep: {_time.perf_counter() - _t_enter:.2f}s",
             file=sys.stderr, flush=True,
         )
@@ -419,9 +499,10 @@ def execute_symmetric(
                      ("tid", "ru", "sl", "vv", "y_t", "y_c", "y_d")}
             carry_v, carry_i = _sweep_chunk(
                 tuple(anchors), chunk, carry_v, carry_i, pvec,
-                flags=flags, k=k, gt=gt, tc=tc, u_pad=u_pad, cs=gt,
-                n_anchors=len(anchors),
+                flags=flags, k=k, gt=gt, tc=tc, u_pad=u_pad,
+                cs=gt, n_anchors=len(anchors),
                 compute_dtype=compute_dtype, precision=precision,
+                use_pallas=use_pallas,
             )
 
     # anchor pairs share one inner sweep (halves the rhs re-scatter);
