@@ -130,15 +130,51 @@ def symmetric_eligible(pre: Preprocessed, params: SPlusParams,
 # ---------------------------------------------------------------------------
 
 
-def _plan(C: int, U: int, nnz: int, compute_dtype: str,
-          budget: int) -> tuple[int, int, int, bool]:
-    """Choose (tc, gt, u_pad, dual) under the HBM budget.
+# measured v5e sustained rates (BASELINE.md "Environment facts"); only the
+# RATIO matters for the planner, so stale absolutes degrade gracefully
+_MXU_RATE = {"int8": 296e12, "int4": 296e12, "bfloat16": 170e12,
+             "float32": 30e12}
+_SCATTER_NNZ_RATE = 30e6  # bf16 XLA scatter, elements/s
 
-    The cost model balances the two O(n_groups) terms: coarser anchors
-    (larger gt) cut the inner re-scatter triangle but coarsen the block
-    triangle (more wasted matmul below the diagonal band). The resident
-    lhs (per_pass * gt * tc * u_pad) must fit next to the rhs scatter
-    transient, the COO uploads and the score-block working set.
+
+def _triangle_counts(n_tiles_dev: int, gt: int, dual: bool) -> tuple[int, int]:
+    """(kernel block-products, tile scatters) of the host sweep schedule.
+
+    Mirrors execute_symmetric's pair loop exactly: a dual pair sweeps its
+    band with one anchor and everything right of it with two; anchors
+    themselves are densified once each (the + n_tiles_dev term).
+    """
+    n_groups = n_tiles_dev // gt
+    products = 0
+    scatters = n_tiles_dev  # anchor densifies
+    a = 0
+    while a < n_groups:
+        if dual and a + 1 < n_groups:
+            band = gt  # tiles a*gt .. (a+1)*gt, first anchor only
+            rest = n_tiles_dev - (a + 1) * gt
+            products += band + 2 * rest
+            scatters += band + rest
+            a += 2
+        else:
+            rest = n_tiles_dev - a * gt
+            products += rest
+            scatters += rest
+            a += 1
+    return products, scatters
+
+
+def _plan(C: int, U: int, nnz: int, compute_dtype: str, budget: int,
+          use_pallas: bool) -> tuple[int, int, int, bool]:
+    """Choose (tc, gt, u_pad, dual) by modeled wall time under the HBM cap.
+
+    Two O(n_groups) terms trade off: coarser anchors (larger gt) cut the
+    inner re-scatter triangle AND the grid padding (n_tiles_dev rounds up
+    to a multiple of gt, and padding inflates the matmul quadratically),
+    but cost resident HBM (per_pass * gt * tc * u_pad next to the rhs
+    scatter transient, the COO uploads and — XLA path only — the
+    score-block working set). Rather than greedily filling HBM, every
+    feasible gt is costed with the measured MXU/scatter rates and the
+    cheapest wins.
     """
     u_pad = max(_round_up(U, 128), 128)
     isize = {"bfloat16": 2, "int8": 1, "int4": 1}.get(compute_dtype, 4)
@@ -155,9 +191,10 @@ def _plan(C: int, U: int, nnz: int, compute_dtype: str,
     per_pass = 2 if dual else 1
 
     tile_lhs = tc * u_pad * isize
-    # per-anchor-tile score-block working set: xy + f32 val + masked copy +
-    # transpose (~12B per cell of a (tc x tc) block slice)
-    blk = tc * tc * 12
+    # XLA-path per-anchor-tile score-block working set: xy + f32 val +
+    # masked copy + transpose (~12B per cell of a (tc x tc) block slice);
+    # the fused kernel keeps all of that in VMEM
+    blk = 0 if use_pallas else tc * tc * 12
     reserve = (
         int(nnz * 12 * 1.8)  # device-resident COO uploads + pad slack
         + u_pad * tc * (2 + isize)  # rhs scatter transient (bf16 + cast)
@@ -165,13 +202,25 @@ def _plan(C: int, U: int, nnz: int, compute_dtype: str,
         + (1 << 30)
     )
     avail = int(budget * 0.85) - reserve
+    gt_max = max(1, min(int(avail // (per_pass * tile_lhs + blk)), n_tiles))
+
     gt_env = os.environ.get("SIMILARIPY_TPU_SYM_GT")
     if gt_env:
-        gt = max(1, int(gt_env))
-    else:
-        gt = max(1, avail // (per_pass * tile_lhs + blk))
-    gt = min(gt, n_tiles)
-    return tc, gt, u_pad, dual
+        return tc, max(1, int(gt_env)), u_pad, dual
+
+    mxu = _MXU_RATE.get(compute_dtype, _MXU_RATE["float32"])
+    nnz_tile = nnz / max(n_tiles, 1)
+    best_gt, best_t = 1, float("inf")
+    for gt in range(1, gt_max + 1):
+        n_tiles_dev = math.ceil(n_tiles / gt) * gt
+        products, scatters = _triangle_counts(n_tiles_dev, gt, dual)
+        t = (
+            products * (gt * tc) * tc * u_pad * 2 / mxu
+            + scatters * nnz_tile / _SCATTER_NNZ_RATE
+        )
+        if t < best_t - 1e-9:
+            best_gt, best_t = gt, t
+    return tc, best_gt, u_pad, dual
 
 
 # ---------------------------------------------------------------------------
@@ -375,7 +424,6 @@ def execute_symmetric(
 
     compute_dtype, inv_scale = resolve_compute_dtype(compute_dtype, pre)
     budget = budget_bytes if budget_bytes is not None else hbm_budget_bytes()
-    tc, gt, u_pad, dual = _plan(C, U, m2.nnz, compute_dtype, budget)
 
     # fused dual-sided kernel (pallas_kernels.fused_sym_topk): same gating
     # as the general executor — HIGH-precision f32 stays on XLA (real
@@ -386,6 +434,8 @@ def execute_symmetric(
     use_pallas = _pallas_enabled()
     if compute_dtype == "float32" and precision == "high":
         use_pallas = False
+    tc, gt, u_pad, dual = _plan(C, U, m2.nnz, compute_dtype, budget,
+                                use_pallas)
     k_pad = k
     if use_pallas:
         from .pallas_kernels import KB
@@ -396,9 +446,12 @@ def execute_symmetric(
         )
         if k_pad > 1024:
             # one extraction pass per kept value: beyond ~1024 the XLA
-            # sort-based top_k wins (same cutover as the general executor)
+            # sort-based top_k wins (same cutover as the general executor);
+            # re-plan with the XLA path's score-block working set reserved
             use_pallas = False
             k_pad = k
+            tc, gt, u_pad, dual = _plan(C, U, m2.nnz, compute_dtype, budget,
+                                        False)
         else:
             u_pad = _round_up(u_pad, KB)
 
