@@ -491,7 +491,7 @@ def fused_tile_topk(
 def _sym_kernel(
     pvec_ref,  # SMEM (1, 16): [0-9] standard, [10]=col_base (t*tc slot),
     #            [11]=row_base (a0*tc slot), [12]=t (tile id), [13]=a0 tile
-    a_ref,  # (TM, KB) cdt — anchor row block
+    a_ref,  # (TM, KB) cdt — anchor row block; (1, KB, TM) when a_3d
     d_ref,  # (KB, TC) cdt — inner tile
     xt_ref,  # (TM, 1) f32
     xc_ref,
@@ -499,7 +499,11 @@ def _sym_kernel(
     yt_ref,  # (1, TC) f32
     yc_ref,
     yd_ref,
-    rvals_ref,  # (k_pad, TM) f32 — row-side top-k of this block
+    crv_ref,  # (k_pad_r, TM) f32 — row-side carry in (plane layout)
+    cri_ref,  # (k_pad_r, TM) i32
+    ccv_ref,  # (k_pad_c, TC) f32 — col-side carry in (constant index map)
+    cci_ref,  # (k_pad_c, TC) i32
+    rvals_ref,  # (k_pad, TM) f32 — row-side carry out (merged, sorted desc)
     ridx_ref,  # (k_pad, TM) i32
     cvals_ref,  # (k_pad, TC) f32 — col-side accumulator (revisited: constant
     cidx_ref,  # (k_pad, TC) i32    index map keeps it VMEM-resident)
@@ -512,6 +516,7 @@ def _sym_kernel(
     k_pad_c: int,  # col-side depth: min(k, sw) candidate rows per column
     tm: int,
     tc: int,
+    a_3d: bool = False,  # anchor stored as (gt, u_pad, tc) rhs-oriented tiles
 ):
     """Self-similarity block: one MXU pass feeds BOTH top-K directions.
 
@@ -524,11 +529,19 @@ def _sym_kernel(
     reduce to scalar program-id predicates, and the strictly-lower col
     merge is skipped entirely on diagonal blocks (pl.when).
 
-    The col-side carry lives in the (k_pad, TC) output block itself: its
-    index map is constant across the grid, so Pallas keeps it in VMEM for
-    the whole kernel and each row block merges into it with an iterative
-    axis-0 extraction (manual argmax via compare+min — axis-0 argmax
-    lowering is unproven on Mosaic, first-index tie-break preserved).
+    BOTH sides merge the global top-K carry in-kernel (the carry blocks
+    arrive as regular inputs and leave merged through the outputs), so
+    nothing but the dense tile scatter remains outside the kernel — the
+    XLA per-product [concat -> top_k -> dynamic_update] chains this
+    replaces were ~15-25 ms/product of pure sort time. The col-side carry
+    accumulates in the (k_pad, TC) output block itself: its index map is
+    constant across the grid, so Pallas keeps it in VMEM for the whole
+    kernel (seeded from ccv_ref at the first step); each row block merges
+    into it with an iterative axis-0 extraction (manual argmax via
+    compare+min — axis-0 argmax lowering is unproven on Mosaic,
+    first-index tie-break preserved). The row side appends its carry as
+    k_pad_r extra lanes of the extraction pool; winner ids resolve via a
+    compare+max select over the pool's id plane.
     """
     m = pl.program_id(0)
     kk = pl.program_id(1)
@@ -536,14 +549,31 @@ def _sym_kernel(
 
     @pl.when(jnp.logical_and(m == 0, kk == 0))
     def _():
-        cvals_ref[:] = jnp.full_like(cvals_ref, NEG_INF)
-        cidx_ref[:] = jnp.zeros_like(cidx_ref)
+        cvals_ref[:] = ccv_ref[:]
+        cidx_ref[:] = cci_ref[:]
 
     @pl.when(kk == 0)
     def _():
         xy_ref[:] = jnp.zeros_like(xy_ref)
 
-    if int8_mode:
+    if a_3d:
+        # anchors are rhs-oriented (users x slots) dense tiles; the MXU
+        # contracts the shared user (sublane) axis natively, so no
+        # transposed copy of the multi-GB anchor stack ever exists
+        a_blk = a_ref[0]  # (KB, TM)
+        dn = (((0,), (0,)), ((), ()))
+        if int8_mode or a_blk.dtype == jnp.bfloat16:
+            xy_ref[:] += jax.lax.dot_general(
+                a_blk, d_ref[:], dn,
+                preferred_element_type=jnp.int32 if int8_mode
+                else jnp.float32,
+            )
+        else:
+            xy_ref[:] += jax.lax.dot_general(
+                a_blk, d_ref[:], dn, preferred_element_type=jnp.float32,
+                precision=prec,
+            )
+    elif int8_mode:
         xy_ref[:] += jnp.dot(a_ref[:], d_ref[:], preferred_element_type=jnp.int32)
     elif a_ref.dtype == jnp.bfloat16:
         xy_ref[:] += jnp.dot(a_ref[:], d_ref[:], preferred_element_type=jnp.float32)
@@ -566,6 +596,8 @@ def _sym_kernel(
         )
 
         # ---- row side: anchors gain tile t's columns iff rt <= t ----
+        # phase 1: this block's top-k_pad_r, ids implicit (cheap 3-pass
+        # extraction over the full (tm, tc) plane)
         val_row = jnp.where(rt <= t_tile, val, NEG_INF)
         cols = jax.lax.broadcasted_iota(jnp.int32, (tm, tc), 1)
 
@@ -577,6 +609,26 @@ def _sym_kernel(
             return jnp.where(cols == am[:, None], NEG_INF, v)
 
         jax.lax.fori_loop(0, k_pad_r, row_body, val_row)
+
+        # phase 2: merge with the carried top-k over a (2*k_pad_r, tm)
+        # sublane-major pool — negligible next to phase 1, and the carry
+        # block arrives in the plane's native layout (no transpose)
+        two_k = 2 * k_pad_r
+        mv = jnp.concatenate([rvals_ref[:], crv_ref[:]], axis=0)
+        mi = jnp.concatenate([ridx_ref[:], cri_ref[:]], axis=0)
+        mrows = jax.lax.broadcasted_iota(jnp.int32, (two_k, tm), 0)
+        mbig = jnp.int32(two_k)
+
+        def merge_body(i, v):
+            mx = jnp.max(v, axis=0)
+            am = jnp.min(jnp.where(v == mx[None, :], mrows, mbig), axis=0)
+            rvals_ref[pl.ds(i, 1), :] = mx[None, :]
+            ridx_ref[pl.ds(i, 1), :] = jnp.max(
+                jnp.where(mrows == am[None, :], mi, -1), axis=0
+            )[None, :]
+            return jnp.where(mrows == am[None, :], NEG_INF, v)
+
+        jax.lax.fori_loop(0, k_pad_r, merge_body, mv)
 
         # ---- col side: tile t's columns gain the anchors iff rt < t ----
         @pl.when(rt < t_tile)
@@ -604,6 +656,15 @@ def _sym_kernel(
             jax.lax.fori_loop(0, k_pad_c, col_body, v)
 
 
+def sym_k_pads(k: int, tc: int, sw: int) -> tuple[int, int]:
+    """(row-side, col-side) carry depths of the symmetric kernel.
+
+    The two depths differ because each side sees a different candidate
+    pool: a tile has tc columns, an anchor stack sw rows — both padded to
+    min(k, pool) rounded to the 8-sublane granularity."""
+    return -(-min(k, tc) // 8) * 8, -(-min(k, sw) // 8) * 8
+
+
 def fused_sym_topk(
     a,  # (sw, u_pad) cdt — anchor row stack (lhs orientation)
     d,  # (u_pad, tc) cdt — inner tile
@@ -613,6 +674,10 @@ def fused_sym_topk(
     y_t,  # (tc,) f32
     y_c,
     y_d,
+    crv,  # (k_pad_r, sw) f32 — row-side carry plane slice
+    cri,  # (k_pad_r, sw) i32
+    ccv,  # (k_pad_c, tc) f32 — col-side carry
+    cci,  # (k_pad_c, tc) i32
     pvec_ext,  # (16,) f32 — build_pvec + [10]=col_base [11]=row_base
     #            [12]=tile id [13]=anchor tile
     *,
@@ -623,25 +688,32 @@ def fused_sym_topk(
     precision,
     interpret: bool = False,
 ):
-    """Dual-sided fused similarity top-K for the symmetric executor.
+    """Dual-sided fused similarity top-K + carry merge for the symmetric
+    executor.
 
-    Returns (rvals (k_pad_r, sw), ridx, cvals (k_pad_c, tc), cidx):
-    per-anchor-row top-k_pad_r of tile t (sorted desc, ids in slot space
-    via col_base) and per-tile-column top-k_pad_c over all anchor rows
-    with tile(row) < t (ids in slot space via row_base). The two depths
-    differ because each side sees a different candidate pool: a tile has
-    tc columns, an anchor stack sw rows — both padded to min(k, pool).
-    Replaces the XLA chain [matmul -> epilogue -> transpose -> 2x
-    hierarchical top_k] with one MXU pass whose scores never leave VMEM."""
-    sw, u_pad = a.shape
-    k_pad_r = -(-min(k, tc) // 8) * 8
-    k_pad_c = -(-min(k, sw) // 8) * 8
+    Returns (rvals (k_pad_r, sw), ridx, cvals (k_pad_c, tc), cidx): the
+    row-side carry merged with this tile's per-anchor-row top candidates
+    (sorted desc, ids in slot space via col_base) and the col-side carry
+    merged with all anchor rows with tile(row) < t (ids in slot space via
+    row_base). One MXU pass computes the block; epilogue, both top-K
+    extractions AND both carry merges happen without the scores ever
+    leaving VMEM, so the caller only dynamic-slice/updates the global
+    carry planes around the call."""
+    a_3d = a.ndim == 3
+    if a_3d:
+        gt_a, u_pad, tc_a = a.shape
+        assert tc_a == tc, (tc_a, tc)
+        sw = gt_a * tc
+    else:
+        sw, u_pad = a.shape
+    k_pad_r, k_pad_c = sym_k_pads(k, tc, sw)
     # blocks must not straddle an anchor row-tile boundary (rt constancy):
     # tc is always a multiple of 128, so fall back to 128-row blocks when
     # the preferred TM does not divide the tile width
     tm = TM if TM <= tc and tc % TM == 0 else 128
     assert sw % tm == 0 and u_pad % KB == 0 and d.shape[1] == tc, (sw, u_pad)
     assert tc % tm == 0, (tc, tm)
+    assert crv.shape == (k_pad_r, sw) and ccv.shape == (k_pad_c, tc)
 
     if precision == jax.lax.Precision.HIGH:
         precision = jax.lax.Precision.HIGHEST
@@ -649,12 +721,21 @@ def fused_sym_topk(
     grid = (sw // tm, u_pad // KB)
     acc_dtype = jnp.int32 if int8_mode else jnp.float32
 
+    mpt = tc // tm  # row blocks per anchor tile
     in_specs = [
-        pl.BlockSpec((tm, KB), lambda m, kk: (m, kk)),
+        pl.BlockSpec((1, KB, tm), lambda m, kk: (m // mpt, kk, m % mpt))
+        if a_3d
+        else pl.BlockSpec((tm, KB), lambda m, kk: (m, kk)),
         pl.BlockSpec((KB, tc), lambda m, kk: (kk, 0)),
     ]
     in_specs += [pl.BlockSpec((tm, 1), lambda m, kk: (m, 0))] * 3
     in_specs += [pl.BlockSpec((1, tc), lambda m, kk: (0, 0))] * 3
+    in_specs += [
+        pl.BlockSpec((k_pad_r, tm), lambda m, kk: (0, m)),
+        pl.BlockSpec((k_pad_r, tm), lambda m, kk: (0, m)),
+        pl.BlockSpec((k_pad_c, tc), lambda m, kk: (0, 0)),
+        pl.BlockSpec((k_pad_c, tc), lambda m, kk: (0, 0)),
+    ]
 
     kernel = partial(
         _sym_kernel,
@@ -665,6 +746,7 @@ def fused_sym_topk(
         k_pad_c=k_pad_c,
         tm=tm,
         tc=tc,
+        a_3d=a_3d,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -704,5 +786,130 @@ def fused_sym_topk(
         y_t.reshape(1, tc),
         y_c.reshape(1, tc),
         y_d.reshape(1, tc),
+        crv,
+        cri,
+        ccv,
+        cci,
     )
     return rvals, ridx, cvals, cidx
+
+
+# ---------------------------------------------------------------------------
+# MXU scatter: COO -> dense tile via one-hot matmuls over 2-D bins
+# ---------------------------------------------------------------------------
+
+UBR = 512  # user rows per scatter bin
+SC = 512  # slot columns per scatter bin
+LC = 512  # COO entries per matmul chunk
+
+
+def _mxu_scatter_kernel(
+    cnt_ref,  # SMEM (UB * SB,) i32 — live entry count per bin (prefetched)
+    ps_ref,  # (LC, 1) i32 — (user_row << 16) | slot, bin-local (-1 pad)
+    vv_ref,  # (LC, 1) i32/f32 — value of each entry
+    out_ref,  # (UBR, SC) out_dtype
+    acc_ref,  # scratch (UBR, SC) i32/f32
+    *,
+    n_chunks: int,
+    n_sb: int,
+    int_mode: bool,
+):
+    """One (UBR x SC) dense bin from its binned COO entries.
+
+    The scatter IS a matmul: out = A @ B with A^T[j, u] = [uu_j == u] and
+    B[j, s] = v_j [ss_j == s], both one-hots built entry-major in VMEM by
+    iota compares (VPU) and contracted over the entry axis by the MXU.
+    XLA's TPU scatter retires ~25 Mnnz/s regardless of flags; here each
+    entry costs UBR x SC MACs, so SMALL bins are the whole game — 2-D
+    (user x slot) binning makes the per-entry cost 512x512 instead of a
+    row-bin's 512 x tc, fits every buffer in well under the 16 MB scoped
+    VMEM the AOT path enforces, and naturally splits full-catalog power
+    users across their slot bins. -1 padding matches no row/column and
+    lands nowhere; whole chunks past the bin's live count are skipped, so
+    the shared budget L only taxes the rare overfull bin. Duplicate (u, s)
+    pairs sum, same as scatter-add."""
+    ub = pl.program_id(0)
+    sb = pl.program_id(1)
+    c = pl.program_id(2)
+    ot = jnp.int8 if int_mode else jnp.bfloat16
+
+    @pl.when(c == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(c * LC < cnt_ref[ub * n_sb + sb])
+    def _():
+        uu = ps_ref[:] >> 16  # sentinel -1 stays negative: matches no row
+        ss = ps_ref[:] & 0xFFFF  # sentinel -> 65535: matches no column
+        rows = jax.lax.broadcasted_iota(jnp.int32, (LC, UBR), 1)
+        a_t = (uu == rows).astype(ot)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (LC, SC), 1)
+        b = jnp.where(ss == cols, vv_ref[:], 0).astype(ot)
+        acc_ref[:] += jax.lax.dot_general(
+            a_t, b, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32 if int_mode else jnp.float32,
+        )
+
+    @pl.when(c == n_chunks - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+def mxu_scatter(
+    ps,  # (UB * SB * L, 1) i32 — packed (user_row << 16) | slot, -1 padded
+    vv,  # (UB * SB * L, 1) i32/f32 — values
+    counts,  # (UB * SB,) i32 — live entries per bin
+    *,
+    u_pad: int,
+    tc: int,
+    out_dtype,
+    interpret: bool = False,
+):
+    """Dense (u_pad, tc) rhs tile from 2-D-binned COO arrays.
+
+    Host binning contract (engine/symmetric.py _bin_tiles_mxu): bin
+    (ub, sb) covers users [ub*UBR, (ub+1)*UBR) x slots [sb*SC, (sb+1)*SC);
+    its entries live at rows [(ub*SB + sb)*L, ...+counts] of the flat
+    columns, with user/slot stored LOCAL to the bin and packed into one
+    int32 word (halves the resident binned-COO footprint and its DMA
+    traffic). L must be a multiple of LC and cover the fullest bin. int8 values ride the int8 MXU path;
+    bfloat16 tiles build bf16 one-hots (exact for the small-int domain)."""
+    UB = u_pad // UBR
+    SB = tc // SC
+    assert u_pad % UBR == 0 and tc % SC == 0
+    nbin = UB * SB
+    assert ps.shape[0] % nbin == 0 and ps.shape[1] == 1
+    L = ps.shape[0] // nbin
+    assert L % LC == 0
+    assert vv.shape == ps.shape
+    assert counts.shape == (nbin,)
+    n_chunks = L // LC
+    int_mode = out_dtype in (jnp.int8, "int8")
+
+    grid = (UB, SB, n_chunks)
+    nc = n_chunks
+
+    def coo_spec():
+        return pl.BlockSpec(
+            (LC, 1),
+            lambda ub, sb, c, cnt: ((ub * SB + sb) * nc + c, 0),
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[coo_spec(), coo_spec()],
+        out_specs=pl.BlockSpec((UBR, SC), lambda ub, sb, c, cnt: (ub, sb)),
+        scratch_shapes=[
+            pltpu.VMEM((UBR, SC), jnp.int32 if int_mode else jnp.float32)
+        ],
+    )
+    return pl.pallas_call(
+        partial(
+            _mxu_scatter_kernel, n_chunks=n_chunks, n_sb=SB,
+            int_mode=int_mode,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((u_pad, tc), out_dtype),
+        interpret=interpret,
+    )(counts, ps, vv)

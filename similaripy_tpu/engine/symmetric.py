@@ -13,10 +13,15 @@ way:
     columns, so a tile's COO scatters into EITHER orientation:
     ``(user, slot)`` for a rhs tile, ``(slot, user)`` for a lhs row block.
     The separate matrix1 panel preparation disappears entirely.
-  - anchor groups of ``gt`` tiles are densified once in lhs orientation
-    and stay HBM-resident while the executor sweeps the remaining column
-    tiles t >= anchor_start — only the upper block triangle is computed
+  - anchor groups of ``gt`` tiles are densified once and stay
+    HBM-resident while the executor sweeps the remaining column tiles
+    t >= anchor_start — only the upper block triangle is computed
     (~0.52-0.57x of the full grid at ML-32M geometry instead of 1.0x).
+    On the fused-kernel path anchors keep the SAME rhs (user x slot)
+    orientation as the inner tiles (the kernel contracts the shared user
+    axis via dot_general), so sweep chunks over an anchor's own tiles
+    slice the resident stack instead of re-scattering — one full scatter
+    of every tile is retired from the schedule.
   - every computed block feeds TWO top-K merges: the anchor rows' carry
     (row side) and, transposed, the inner tile rows' carry (col side).
     Tile-granularity iota masks make the delivery exactly-once:
@@ -137,12 +142,16 @@ _MXU_RATE = {"int8": 296e12, "int4": 296e12, "bfloat16": 170e12,
 _SCATTER_NNZ_RATE = 30e6  # bf16 XLA scatter, elements/s
 
 
-def _triangle_counts(n_tiles_dev: int, gt: int, dual: bool) -> tuple[int, int]:
+def _triangle_counts(n_tiles_dev: int, gt: int, dual: bool,
+                     anchor_reuse: bool) -> tuple[int, int]:
     """(kernel block-products, tile scatters) of the host sweep schedule.
 
     Mirrors execute_symmetric's pair loop exactly: a dual pair sweeps its
     band with one anchor and everything right of it with two; anchors
-    themselves are densified once each (the + n_tiles_dev term).
+    themselves are densified once each (the + n_tiles_dev term). On the
+    fused-kernel path (anchor_reuse) chunks over an anchor's own tiles
+    slice the resident stack instead of re-scattering, which removes one
+    band's worth of scatters per sweep.
     """
     n_groups = n_tiles_dev // gt
     products = 0
@@ -154,11 +163,15 @@ def _triangle_counts(n_tiles_dev: int, gt: int, dual: bool) -> tuple[int, int]:
             rest = n_tiles_dev - (a + 1) * gt
             products += band + 2 * rest
             scatters += band + rest
+            if anchor_reuse:
+                scatters -= 2 * gt  # both anchors' own tiles sliced
             a += 2
         else:
             rest = n_tiles_dev - a * gt
             products += rest
             scatters += rest
+            if anchor_reuse:
+                scatters -= gt
             a += 1
     return products, scatters
 
@@ -213,7 +226,9 @@ def _plan(C: int, U: int, nnz: int, compute_dtype: str, budget: int,
     best_gt, best_t = 1, float("inf")
     for gt in range(1, gt_max + 1):
         n_tiles_dev = math.ceil(n_tiles / gt) * gt
-        products, scatters = _triangle_counts(n_tiles_dev, gt, dual)
+        products, scatters = _triangle_counts(
+            n_tiles_dev, gt, dual, use_pallas
+        )
         t = (
             products * (gt * tc) * tc * u_pad * 2 / mxu
             + scatters * nnz_tile / _SCATTER_NNZ_RATE
@@ -248,17 +263,216 @@ def _densify_lhs(slots, users, vals, *, tc: int, u_pad: int,
 
 @partial(
     jax.jit,
+    static_argnames=("tc", "u_pad", "compute_dtype"),
+    donate_argnums=(0,),
+)
+def _densify_lhs_into(arena, slots, users, vals, *, tc: int, u_pad: int,
+                      compute_dtype: str):
+    """_densify_lhs writing over a retired anchor's donated buffer.
+
+    Donation lets XLA alias the multi-GB lhs stack instead of allocating a
+    second one, so the host can enqueue the next pair's anchors WITHOUT a
+    device barrier: the single TPU stream orders the overwrite after every
+    already-enqueued sweep that reads the old anchor, and peak HBM stays at
+    one pair's working set."""
+    del arena  # buffer reused for the output via donation
+    from .executor import compute_cast, densify
+
+    cdt, _ = compute_cast(compute_dtype)
+
+    def one(args):
+        s, u, v = args
+        return densify((tc, u_pad), s, u, v, cdt)
+
+    return jax.lax.map(one, (slots, users, vals))
+
+
+@partial(jax.jit, static_argnames=("tc", "u_pad", "compute_dtype"))
+def _densify_rhs_stack(users, slots, vals, *, tc: int, u_pad: int,
+                       compute_dtype: str):
+    """Anchor group as a (gt, u_pad, tc) stack of rhs-oriented tiles.
+
+    Same orientation as the sweep's inner tiles (the kernel contracts the
+    shared user axis via dot_general), so chunks whose inner tiles ARE an
+    anchor's tiles slice the resident stack instead of re-scattering —
+    that retires one full scatter of every tile per pair schedule."""
+    from .executor import compute_cast, densify
+
+    cdt, _ = compute_cast(compute_dtype)
+
+    def one(args):
+        u, s, v = args
+        return densify((u_pad, tc), u, s, v, cdt)
+
+    return jax.lax.map(one, (users, slots, vals))
+
+
+@partial(
+    jax.jit,
+    static_argnames=("tc", "u_pad", "compute_dtype"),
+    donate_argnums=(0,),
+)
+def _densify_rhs_stack_into(arena, users, slots, vals, *, tc: int,
+                            u_pad: int, compute_dtype: str):
+    """_densify_rhs_stack over a retired anchor's donated buffer."""
+    del arena
+    from .executor import compute_cast, densify
+
+    cdt, _ = compute_cast(compute_dtype)
+
+    def one(args):
+        u, s, v = args
+        return densify((u_pad, tc), u, s, v, cdt)
+
+    return jax.lax.map(one, (users, slots, vals))
+
+
+@partial(jax.jit, static_argnames=("tc", "u_pad", "compute_dtype"))
+def _densify_anchor_mxu(ps, vv, cnt, *, tc: int, u_pad: int,
+                        compute_dtype: str):
+    """Anchor group as a (gt, u_pad, tc) stack of MXU-scattered rhs tiles.
+
+    Rhs orientation is the ONLY dense orientation in MXU-scatter mode —
+    the sweep kernel contracts the shared user axis via dot_general, so
+    anchors reuse the same binned COO and the same scatter kernel as the
+    inner tiles."""
+    from .executor import compute_cast
+    from .pallas_kernels import mxu_scatter
+
+    cdt, _ = compute_cast(compute_dtype)
+    interpret = jax.default_backend() != "tpu"
+
+    def one(args):
+        p_, v, c = args
+        return mxu_scatter(
+            p_, v, c, u_pad=u_pad, tc=tc, out_dtype=cdt,
+            interpret=interpret,
+        )
+
+    return jax.lax.map(one, (ps, vv, cnt))
+
+
+@partial(
+    jax.jit,
+    static_argnames=("tc", "u_pad", "compute_dtype"),
+    donate_argnums=(0,),
+)
+def _densify_anchor_mxu_into(arena, ps, vv, cnt, *, tc: int, u_pad: int,
+                             compute_dtype: str):
+    """_densify_anchor_mxu over a retired anchor's donated buffer."""
+    del arena
+    from .executor import compute_cast
+    from .pallas_kernels import mxu_scatter
+
+    cdt, _ = compute_cast(compute_dtype)
+    interpret = jax.default_backend() != "tpu"
+
+    def one(args):
+        p_, v, c = args
+        return mxu_scatter(
+            p_, v, c, u_pad=u_pad, tc=tc, out_dtype=cdt,
+            interpret=interpret,
+        )
+
+    return jax.lax.map(one, (ps, vv, cnt))
+
+
+def _lpt_user_perm(t_users, u_pad: int) -> np.ndarray:
+    """Greedy LPT permutation of the user axis for balanced scatter bins.
+
+    Heaviest-degree user goes onto the lightest user block with a free
+    row; returns old-row -> new-row. Deterministic for the prep cache."""
+    import heapq
+
+    from .pallas_kernels import UBR
+
+    UBn = u_pad // UBR
+    deg = np.bincount(t_users.ravel(), minlength=u_pad + 1)[:u_pad]
+    rank = np.argsort(-deg, kind="stable")
+    heap = [(0, b) for b in range(UBn)]
+    row_used = np.zeros(UBn, np.int64)
+    perm = np.empty(u_pad, np.int64)
+    for u in rank:
+        load, b = heapq.heappop(heap)
+        perm[u] = b * UBR + row_used[b]
+        row_used[b] += 1
+        if row_used[b] < UBR:
+            heapq.heappush(heap, (load + int(deg[u]), b))
+    return perm
+
+
+def _bin_tiles_mxu(t_users, t_slots, t_vals, u_pad: int, tc: int,
+                   int_mode: bool):
+    """Bin per-tile COO into (user-block x slot-block) bins for mxu_scatter.
+
+    A single permutation of the user axis packs users onto blocks greedily
+    by total degree (longest-processing-time onto the lightest block), so
+    every bin's entry count stays near the mean; full-catalog power users
+    additionally split across their SB slot bins, and mxu_scatter skips
+    chunks past each bin's live count, so one outlier only stretches the
+    shared budget L for itself. Both matmul operands use the permuted user
+    axis, so scores are unchanged. Returns (ps, vv) as (nt, UB*SB*L, 1)
+    bin-local columns — ps packs (user_row << 16) | slot, -1 padded
+    (mxu_scatter's sentinel contract) — plus counts (nt, UB*SB)."""
+    from .pallas_kernels import LC, SC, UBR
+
+    nt, p2 = t_users.shape
+    UBn = u_pad // UBR
+    SBn = tc // SC
+    nbin = UBn * SBn
+    perm = _lpt_user_perm(t_users, u_pad)
+
+    pu = np.where(
+        t_users < u_pad, perm[np.minimum(t_users, u_pad - 1)], -1
+    )
+    bin_of = np.where(
+        pu >= 0, (pu // UBR) * SBn + t_slots // SC, -1
+    )
+    Lmax = 1
+    for t in range(nt):
+        bt = bin_of[t][bin_of[t] >= 0]
+        if bt.size:
+            Lmax = max(Lmax, int(np.bincount(bt, minlength=nbin).max()))
+    L = max(LC, -(-Lmax // LC) * LC)
+
+    vdt = np.int32 if int_mode else np.float32
+    ps = np.full((nt, nbin * L, 1), -1, np.int32)
+    vv = np.zeros((nt, nbin * L, 1), vdt)
+    cnt = np.zeros((nt, nbin), np.int32)
+    for t in range(nt):
+        valid = bin_of[t] >= 0
+        b = bin_of[t][valid]
+        lu = (pu[t][valid] % UBR).astype(np.int32)
+        sl = (t_slots[t][valid] % SC).astype(np.int32)
+        vl = t_vals[t][valid]
+        order = np.argsort(b, kind="stable")
+        b, lu, sl, vl = b[order], lu[order], sl[order], vl[order]
+        counts = np.bincount(b, minlength=nbin)
+        starts = np.zeros(nbin, np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        dest = b * L + (np.arange(b.shape[0]) - starts[b])
+        ps[t, dest, 0] = (lu.astype(np.int32) << 16) | sl
+        vv[t, dest, 0] = (
+            np.rint(vl).astype(np.int32) if int_mode else vl.astype(np.float32)
+        )
+        cnt[t] = counts.astype(np.int32)
+    return ps, vv, cnt
+
+
+@partial(
+    jax.jit,
     static_argnames=(
         "flags", "k", "gt", "tc", "u_pad", "cs", "n_anchors",
-        "compute_dtype", "precision", "use_pallas",
+        "compute_dtype", "precision", "use_pallas", "mxu",
+        "anchor_inner",
     ),
-    donate_argnums=(2, 3),
+    donate_argnums=(2,),
 )
 def _sweep_chunk(
     anchors,  # tuple of dicts: lhs (gt,tc,u_pad), xt/xc/xd (sw,), a0 scalar
     tiles,  # dict of (cs, ...) stacked per-tile arrays: tid, ru, sl, vv, y_*
-    carry_v,  # (Cdev, k) donated
-    carry_i,  # (Cdev, k) donated
+    carry,  # donated; pallas: (crv, cri, ccv, cci) (k_pad_*, Cdev) planes,
+    #         xla: (cv, ci) (Cdev, k)
     pvec,
     *,
     flags: tuple,
@@ -271,16 +485,21 @@ def _sweep_chunk(
     compute_dtype: str,
     precision: str,
     use_pallas: bool,
+    mxu: bool = False,
+    anchor_inner: int = -1,
 ):
     """cs inner tiles x n_anchors resident row blocks, one dispatch.
 
     Each step scatters one rhs tile and, per anchor, computes the score
     block and merges it into the global carry on both sides (delivery
     masks as per the module docstring). With `use_pallas` the block goes
-    through fused_sym_topk — matmul, epilogue and BOTH per-direction
-    top-k_pad extractions in one kernel whose scores never leave VMEM —
-    leaving only two cheap (rows, k + k_pad) merges here. Without it, the
-    XLA chain (dot -> epilogue -> transpose -> hierarchical top_k) runs.
+    through fused_sym_topk — matmul, epilogue, BOTH per-direction
+    top-k_pad extractions AND both carry merges in one kernel whose
+    scores never leave VMEM — all that remains here is slicing the global
+    carry planes around the call. The two sides keep separate planes
+    (merged at pack time) so their updates never alias within a product.
+    Without `use_pallas`, the XLA chain (dot -> epilogue -> transpose ->
+    hierarchical top_k) runs on a single (Cdev, k) carry.
     """
     from .executor import compute_cast, densify, splus_epilogue, topk_merge
 
@@ -293,19 +512,40 @@ def _sweep_chunk(
     sw = gt * tc
     int_mode = compute_dtype in ("int8", "int4")
     interpret = jax.default_backend() != "tpu"
+    if use_pallas:
+        from .pallas_kernels import sym_k_pads
+
+        k_pad_r, k_pad_c = sym_k_pads(k, tc, sw)
 
     def step(carry, xs):
-        cv, ci = carry
         t = xs["tid"]  # global tile index, i32 scalar
-        d = densify((u_pad, tc), xs["ru"], xs["sl"], xs["vv"], cdt)
+        if anchor_inner >= 0:
+            # this chunk's inner tiles ARE an anchor's tiles: slice the
+            # resident rhs-oriented stack instead of re-scattering
+            aa = anchors[anchor_inner]
+            d = jax.lax.dynamic_index_in_dim(
+                aa["lhs"], t - aa["a0"], axis=0, keepdims=False
+            )
+        elif mxu:
+            from .pallas_kernels import mxu_scatter
+
+            d = mxu_scatter(
+                xs["ps"], xs["vv"], xs["cnt"], u_pad=u_pad, tc=tc,
+                out_dtype=cdt, interpret=interpret,
+            )
+        else:
+            d = densify((u_pad, tc), xs["ru"], xs["sl"], xs["vv"], cdt)
         base_t = t * tc
+        if not use_pallas:
+            cv, ci = carry
         for a in anchors:
-            lhs = a["lhs"].reshape(sw, u_pad)
+            lhs = a["lhs"] if use_pallas else a["lhs"].reshape(sw, u_pad)
             base_a = a["a0"] * tc
 
             if use_pallas:
                 from .pallas_kernels import fused_sym_topk
 
+                crv, cri, ccv, cci = carry
                 pvec_ext = jnp.concatenate(
                     [
                         pvec,
@@ -316,32 +556,27 @@ def _sweep_chunk(
                         jnp.zeros(2, jnp.float32),
                     ]
                 )
+                crv_blk = jax.lax.dynamic_slice(
+                    crv, (0, base_a), (k_pad_r, sw)
+                )
+                cri_blk = jax.lax.dynamic_slice(
+                    cri, (0, base_a), (k_pad_r, sw)
+                )
+                ccv_blk = jax.lax.dynamic_slice(ccv, (0, base_t), (k_pad_c, tc))
+                cci_blk = jax.lax.dynamic_slice(cci, (0, base_t), (k_pad_c, tc))
                 rvals, ridx, cvals, cidx = fused_sym_topk(
                     lhs, d, a["xt"], a["xc"], a["xd"],
-                    xs["y_t"], xs["y_c"], xs["y_d"], pvec_ext,
+                    xs["y_t"], xs["y_c"], xs["y_d"],
+                    crv_blk, cri_blk, ccv_blk, cci_blk, pvec_ext,
                     flags=flags, k=k, tc=tc,
                     int8_mode=int_mode, precision=prec,
                     interpret=interpret,
                 )
-                # row side: merge the block's sorted top-k_pad into the carry
-                cv_a = jax.lax.dynamic_slice(cv, (base_a, 0), (sw, k))
-                ci_a = jax.lax.dynamic_slice(ci, (base_a, 0), (sw, k))
-                all_v = jnp.concatenate([cv_a, rvals.T], axis=1)
-                all_i = jnp.concatenate([ci_a, ridx.T], axis=1)
-                nv, pos = jax.lax.top_k(all_v, k)
-                ni = jnp.take_along_axis(all_i, pos, axis=1)
-                cv = jax.lax.dynamic_update_slice(cv, nv, (base_a, 0))
-                ci = jax.lax.dynamic_update_slice(ci, ni, (base_a, 0))
-
-                # col side: per-column top-k_pad over the strict-lower rows
-                cv_t = jax.lax.dynamic_slice(cv, (base_t, 0), (tc, k))
-                ci_t = jax.lax.dynamic_slice(ci, (base_t, 0), (tc, k))
-                all_v2 = jnp.concatenate([cv_t, cvals.T], axis=1)
-                all_i2 = jnp.concatenate([ci_t, cidx.T], axis=1)
-                nv2, pos2 = jax.lax.top_k(all_v2, k)
-                ni2 = jnp.take_along_axis(all_i2, pos2, axis=1)
-                cv = jax.lax.dynamic_update_slice(cv, nv2, (base_t, 0))
-                ci = jax.lax.dynamic_update_slice(ci, ni2, (base_t, 0))
+                crv = jax.lax.dynamic_update_slice(crv, rvals, (0, base_a))
+                cri = jax.lax.dynamic_update_slice(cri, ridx, (0, base_a))
+                ccv = jax.lax.dynamic_update_slice(ccv, cvals, (0, base_t))
+                cci = jax.lax.dynamic_update_slice(cci, cidx, (0, base_t))
+                carry = (crv, cri, ccv, cci)
                 continue
 
             xy = jnp.dot(lhs, d, preferred_element_type=acc, precision=prec)
@@ -374,10 +609,12 @@ def _sweep_chunk(
             nv2, ni2 = topk_merge(cv_t, ci_t, colv, cand_ids, k)
             cv = jax.lax.dynamic_update_slice(cv, nv2, (base_t, 0))
             ci = jax.lax.dynamic_update_slice(ci, ni2, (base_t, 0))
-        return (cv, ci), None
+        if not use_pallas:
+            carry = (cv, ci)
+        return carry, None
 
-    (carry_v, carry_i), _ = jax.lax.scan(step, (carry_v, carry_i), tiles)
-    return carry_v, carry_i
+    carry, _ = jax.lax.scan(step, carry, tiles)
+    return carry
 
 
 @partial(jax.jit, static_argnames=("size",))
@@ -386,6 +623,25 @@ def _pack_rows(carry_v, carry_i, start, *, size: int):
     v = jax.lax.dynamic_slice(carry_v, (start, 0), (size, carry_v.shape[1]))
     i = jax.lax.dynamic_slice(carry_i, (start, 0), (size, carry_i.shape[1]))
     return jnp.stack([jax.lax.bitcast_convert_type(v, jnp.int32), i], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("size", "k"))
+def _pack_rows_dual(crv, cri, ccv, cci, start, *, size: int, k: int):
+    """Merge finished rows' row-/col-side carry planes, pack for one d2h.
+
+    The planes are (k_pad_*, Cdev); a row's two lists are disjoint by the
+    delivery masks, so one top_k over their concatenation is the final
+    exact merge for that row."""
+    kr, kc = crv.shape[0], ccv.shape[0]
+    rv = jax.lax.dynamic_slice(crv, (0, start), (kr, size))
+    ri = jax.lax.dynamic_slice(cri, (0, start), (kr, size))
+    cv = jax.lax.dynamic_slice(ccv, (0, start), (kc, size))
+    ci = jax.lax.dynamic_slice(cci, (0, start), (kc, size))
+    all_v = jnp.concatenate([rv, cv], axis=0).T  # (size, kr + kc)
+    all_i = jnp.concatenate([ri, ci], axis=0).T
+    nv, pos = jax.lax.top_k(all_v, k)
+    ni = jnp.take_along_axis(all_i, pos, axis=1)
+    return jnp.stack([jax.lax.bitcast_convert_type(nv, jnp.int32), ni], axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -455,6 +711,24 @@ def execute_symmetric(
         else:
             u_pad = _round_up(u_pad, KB)
 
+    # MXU-scatter mode (opt-in experiment): tiles densify via one-hot
+    # matmuls over (512 user x 512 slot) bins. Exact for the int modes and
+    # for bf16 tiles, and correct on real v5e, but MEASURED SLOWER than
+    # the XLA scatter it replaces (5,022 vs 5,644 items/s on the headline
+    # bench): per-bin grid-step overhead exceeds the matmul savings. Kept
+    # in-tree, tested in interpret mode, off by default.
+    mxu = (
+        use_pallas
+        and compute_dtype in ("int8", "int4", "bfloat16")
+        and os.environ.get("SIMILARIPY_TPU_MXU_SCATTER", "0") in ("1", "true")
+    )
+    if mxu:
+        from .pallas_kernels import SC, UBR
+
+        mxu = tc % SC == 0  # small tiles keep the XLA scatter
+    if mxu:
+        u_pad = _round_up(u_pad, max(KB, UBR))
+
     n_tiles = math.ceil(C / tc)
     n_groups = math.ceil(n_tiles / gt)
     n_tiles_dev = n_groups * gt
@@ -465,7 +739,7 @@ def execute_symmetric(
     prep_key = (
         "sym", pre.fp2,
         _fingerprint(pre.Yt, pre.Yc, pre.Yd),
-        compute_dtype, tc, n_tiles_dev, u_pad,
+        compute_dtype, tc, n_tiles_dev, u_pad, mxu,
     )
     cached = _cache_get(prep_key)
     if cached is None:
@@ -478,6 +752,14 @@ def execute_symmetric(
         # free and keeps every tile's scatter bucket near the mean
         rank = np.argsort(-col_nnz, kind="stable")
         tile_lists = [rank[t::n_tiles_dev] for t in range(n_tiles_dev)]
+        # shuffle slots WITHIN each tile (any bijection is valid): the rank
+        # round-robin otherwise clusters the most popular items at low
+        # slots, overloading slot-bin 0 of every tile ~8x in the
+        # MXU-scatter binning (measured; see BASELINE.md)
+        _rng = np.random.default_rng(0x51A7)
+        tile_lists = [
+            lst[_rng.permutation(lst.shape[0])] for lst in tile_lists
+        ]
         item_map = np.full(Cdev, C, dtype=np.int64)
         for t, items in enumerate(tile_lists):
             item_map[t * tc : t * tc + items.shape[0]] = items
@@ -490,14 +772,23 @@ def execute_symmetric(
         yd = _vec_by_map(pre.Yd, item_map, C).reshape(n_tiles_dev, tc)
 
         dev = {
-            "ru": jnp.asarray(t_users),  # (n_tiles_dev, p2) user index
-            "sl": jnp.asarray(t_slots),  # (n_tiles_dev, p2) tile slot
-            "vv": jnp.asarray(t_vals),
             "y_t": jnp.asarray(yt),
             "y_c": jnp.asarray(yc),
             "y_d": jnp.asarray(yd),
             "tid": jnp.arange(n_tiles_dev, dtype=jnp.int32),
         }
+        if mxu:
+            b_ps, b_vv, b_cnt = _bin_tiles_mxu(
+                t_users, t_slots, t_vals, u_pad, tc,
+                compute_dtype in ("int8", "int4"),
+            )
+            dev["ps"] = jnp.asarray(b_ps)  # (nt, UB*SB*L, 1) packed u<<16|s
+            dev["vv"] = jnp.asarray(b_vv)
+            dev["cnt"] = jnp.asarray(b_cnt)  # (nt, UB*SB) live entries
+        else:
+            dev["ru"] = jnp.asarray(t_users)  # (n_tiles_dev, p2) user index
+            dev["sl"] = jnp.asarray(t_slots)  # (n_tiles_dev, p2) tile slot
+            dev["vv"] = jnp.asarray(t_vals)
         _cache_put(prep_key, (dev, item_map))
     else:
         dev, item_map = cached
@@ -505,10 +796,28 @@ def execute_symmetric(
     pvec = jnp.asarray(build_pvec(params, inv_scale))
     flags = params.static_flags()
 
-    carry_v = jnp.full((Cdev, k), NEG_INF, jnp.float32)
-    carry_i = jnp.zeros((Cdev, k), jnp.int32)
+    if use_pallas:
+        from .pallas_kernels import sym_k_pads
 
-    timing = os.environ.get("SIMILARIPY_TPU_TIMING") == "1"
+        k_pad_r, k_pad_c = sym_k_pads(k, tc, sw)
+        carry = (
+            jnp.full((k_pad_r, Cdev), NEG_INF, jnp.float32),
+            jnp.zeros((k_pad_r, Cdev), jnp.int32),
+            jnp.full((k_pad_c, Cdev), NEG_INF, jnp.float32),
+            jnp.zeros((k_pad_c, Cdev), jnp.int32),
+        )
+    else:
+        carry = (
+            jnp.full((Cdev, k), NEG_INF, jnp.float32),
+            jnp.zeros((Cdev, k), jnp.int32),
+        )
+
+    timing_env = os.environ.get("SIMILARIPY_TPU_TIMING", "0")
+    timing = timing_env not in ("", "0")
+    # level 2: force a device sync after every anchor densify / sweep chunk
+    # so the lap times isolate scatter vs kernel cost (distorts pipelining —
+    # diagnosis only)
+    timing_sync = timing_env == "2"
     if timing:
         import sys
         import time as _time
@@ -516,7 +825,7 @@ def execute_symmetric(
         print(
             f"# sym plan: tc={tc} gt={gt} u_pad={u_pad} n_tiles={n_tiles_dev} "
             f"n_groups={n_groups} dual={dual} dtype={compute_dtype} "
-            f"pallas={use_pallas} k_pad={k_pad} "
+            f"pallas={use_pallas} mxu={mxu} k_pad={k_pad} "
             f"prep: {_time.perf_counter() - _t_enter:.2f}s",
             file=sys.stderr, flush=True,
         )
@@ -531,12 +840,41 @@ def execute_symmetric(
                   flush=True)
             _t_mark = now
 
-    def make_anchor(a: int):
+    def make_anchor(a: int, reuse=None):
         t0, t1 = a * gt, (a + 1) * gt
-        lhs = _densify_lhs(
-            dev["sl"][t0:t1], dev["ru"][t0:t1], dev["vv"][t0:t1],
-            tc=tc, u_pad=u_pad, compute_dtype=compute_dtype,
-        )
+        if mxu:
+            args = (dev["ps"][t0:t1], dev["vv"][t0:t1], dev["cnt"][t0:t1])
+            if reuse is not None:
+                lhs = _densify_anchor_mxu_into(
+                    reuse, *args, tc=tc, u_pad=u_pad,
+                    compute_dtype=compute_dtype,
+                )
+            else:
+                lhs = _densify_anchor_mxu(
+                    *args, tc=tc, u_pad=u_pad, compute_dtype=compute_dtype
+                )
+        elif use_pallas and reuse is not None:
+            lhs = _densify_rhs_stack_into(
+                reuse, dev["ru"][t0:t1], dev["sl"][t0:t1], dev["vv"][t0:t1],
+                tc=tc, u_pad=u_pad, compute_dtype=compute_dtype,
+            )
+        elif use_pallas:
+            lhs = _densify_rhs_stack(
+                dev["ru"][t0:t1], dev["sl"][t0:t1], dev["vv"][t0:t1],
+                tc=tc, u_pad=u_pad, compute_dtype=compute_dtype,
+            )
+        elif reuse is not None:
+            lhs = _densify_lhs_into(
+                reuse, dev["sl"][t0:t1], dev["ru"][t0:t1], dev["vv"][t0:t1],
+                tc=tc, u_pad=u_pad, compute_dtype=compute_dtype,
+            )
+        else:
+            lhs = _densify_lhs(
+                dev["sl"][t0:t1], dev["ru"][t0:t1], dev["vv"][t0:t1],
+                tc=tc, u_pad=u_pad, compute_dtype=compute_dtype,
+            )
+        if timing_sync:
+            _lap(f"  anchor {a} densify ({gt} tiles)", sync=lhs)
         return {
             "lhs": lhs,
             "xt": dev["y_t"][t0:t1].reshape(sw),
@@ -545,55 +883,85 @@ def execute_symmetric(
             "a0": jnp.int32(t0),
         }
 
-    def sweep(anchors, c0: int, c1: int):
-        nonlocal carry_v, carry_i
+    chunk_names = (
+        ("tid", "ps", "vv", "cnt", "y_t", "y_c", "y_d")
+        if mxu
+        else ("tid", "ru", "sl", "vv", "y_t", "y_c", "y_d")
+    )
+
+    def sweep(anchors, groups, c0: int, c1: int):
+        nonlocal carry
         for s in range(c0, c1, gt):
-            chunk = {name: dev[name][s : s + gt] for name in
-                     ("tid", "ru", "sl", "vv", "y_t", "y_c", "y_d")}
-            carry_v, carry_i = _sweep_chunk(
-                tuple(anchors), chunk, carry_v, carry_i, pvec,
+            g = s // gt
+            ai = groups.index(g) if use_pallas and g in groups else -1
+            chunk = {name: dev[name][s : s + gt] for name in chunk_names}
+            carry = _sweep_chunk(
+                tuple(anchors), chunk, carry, pvec,
                 flags=flags, k=k, gt=gt, tc=tc, u_pad=u_pad,
                 cs=gt, n_anchors=len(anchors),
                 compute_dtype=compute_dtype, precision=precision,
-                use_pallas=use_pallas,
+                use_pallas=use_pallas, mxu=mxu, anchor_inner=ai,
             )
+            if timing_sync:
+                _lap(
+                    f"  chunk t={s}..{s + gt - 1} x{len(anchors)}a",
+                    sync=carry[0],
+                )
 
     # anchor pairs share one inner sweep (halves the rhs re-scatter);
-    # finished pairs stream their packed rows host-ward asynchronously
+    # finished pairs stream their packed rows host-ward asynchronously.
+    # Each pair's anchors are densified INTO the previous pair's donated
+    # lhs buffers, so no device barrier is needed between pairs (peak HBM
+    # stays at one pair's working set) and the host runs one pair ahead;
+    # materializing the previous pair's packed readback throttles the
+    # pipeline to depth 1 and keeps progress ticks honest.
     pair_list = [
         (a, a + 1) if dual and a + 1 < n_groups else (a,)
         for a in range(0, n_groups, 2 if dual else 1)
     ]
     snapshots = []
     done_rows = 0
-    for pair in pair_list:
-        anchors = [make_anchor(a) for a in pair]
+    retired: list = []  # previous pair's lhs buffers, ready for donation
+    for pi, pair in enumerate(pair_list):
+        anchors = [
+            make_anchor(a, reuse=retired.pop() if retired else None)
+            for a in pair
+        ]
+        retired = []
         a0 = pair[0] * gt
         if len(pair) == 2:
-            sweep(anchors[:1], a0, pair[1] * gt)  # band tiles: first anchor only
-            sweep(anchors, pair[1] * gt, n_tiles_dev)
+            # band tiles: first anchor only
+            sweep(anchors[:1], [pair[0]], a0, pair[1] * gt)
+            sweep(anchors, list(pair), pair[1] * gt, n_tiles_dev)
         else:
-            sweep(anchors, a0, n_tiles_dev)
+            sweep(anchors, list(pair), a0, n_tiles_dev)
         size = len(pair) * sw
-        packed = _pack_rows(carry_v, carry_i, jnp.int32(a0 * tc), size=size)
+        if use_pallas:
+            packed = _pack_rows_dual(
+                *carry, jnp.int32(a0 * tc), size=size, k=k
+            )
+        else:
+            packed = _pack_rows(*carry, jnp.int32(a0 * tc), size=size)
         try:
             packed.copy_to_host_async()
         except Exception:
             pass  # backend without async copies: np.asarray below still works
         snapshots.append((a0 * tc, size, packed))
-        # barrier: dispatch is async and lhs stacks are GBs — without it the
-        # next pair's anchors allocate while this pair's still compute
-        # (2x-3x HBM -> OOM); the tiny readback also lets the packed d2h
-        # stream under the next pair's sweeps
-        np.asarray(carry_v[:1, :1])
+        retired = [a["lhs"] for a in anchors]
+        for a in anchors:
+            a["lhs"] = None  # host must not touch donated-away buffers
+        if pi > 0:
+            # materialize the PREVIOUS pair's packed rows: completes its d2h
+            # under this pair's enqueued compute and bounds host run-ahead
+            np.asarray(snapshots[pi - 1][2])
         if timing:
             _lap(f"pair {pair} sweep")
-        if progress is not None:
-            done = C if pair[-1] == n_groups - 1 else min(
-                C, ((pair[-1] + 1) * sw * C) // Cdev
-            )
-            progress.update(done - done_rows)
-            done_rows = done
+        if progress is not None and pi > 0:
+            # tick the pair whose readback just materialized (one behind)
+            done = min(C, ((pair_list[pi - 1][-1] + 1) * sw * C) // Cdev)
+            if done > done_rows:
+                progress.update(done - done_rows)
+                done_rows = done
 
     # collect (transfers already in flight), map back to original item ids
     out_vals = np.empty((C, k), np.float32)
@@ -608,6 +976,8 @@ def execute_symmetric(
         out_idx[seg[real]] = idx[real]
     if timing:
         _lap("output readback")
+    if progress is not None and done_rows < C:
+        progress.update(C - done_rows)
 
     out_idx = item_map[out_idx].astype(np.int32)
     return out_vals, out_idx

@@ -102,3 +102,96 @@ def test_pallas_threshold_and_shrink(matrix):
     ref.eliminate_zeros()
     ref = top_k(ref, 50)
     np.testing.assert_allclose(check_sum(got), check_sum(ref), rtol=1e-3)
+
+
+def test_mxu_scatter_matches_densify():
+    """One-hot-matmul scatter == XLA scatter via the real binning helper."""
+    import jax
+    import jax.numpy as jnp
+
+    from similaripy_tpu.engine.executor import densify
+    from similaripy_tpu.engine.pallas_kernels import SC, UBR, mxu_scatter
+    from similaripy_tpu.engine.symmetric import _bin_tiles_mxu
+
+    u_pad, tc = 2 * UBR, 2 * SC
+    rng = np.random.default_rng(3)
+    nnz = 5000
+    lin = rng.choice(u_pad * tc, size=nnz, replace=False)
+    users = (lin // tc).astype(np.int32)
+    slots = (lin % tc).astype(np.int32)
+    vals = rng.integers(-9, 10, size=nnz).astype(np.float32)
+
+    # one "tile" with some explicit padding entries (user == u_pad)
+    t_users = np.concatenate([users, np.full(37, u_pad, np.int32)])[None, :]
+    t_slots = np.concatenate([slots, np.zeros(37, np.int32)])[None, :]
+    t_vals = np.concatenate([vals, np.zeros(37, np.float32)])[None, :]
+    ps, vv, cnt = _bin_tiles_mxu(
+        t_users, t_slots, t_vals, u_pad, tc, int_mode=True
+    )
+
+    got = mxu_scatter(
+        jnp.asarray(ps[0]),
+        jnp.asarray(vv[0]),
+        jnp.asarray(cnt[0]),
+        u_pad=u_pad,
+        tc=tc,
+        out_dtype=jnp.int8,
+        interpret=jax.default_backend() != "tpu",
+    )
+    # the binning permutes the user axis; apply the same permutation to ref
+    from similaripy_tpu.engine.symmetric import _lpt_user_perm
+
+    perm = _lpt_user_perm(t_users, u_pad)
+    ref = densify(
+        (u_pad, tc),
+        jnp.asarray(perm[users].astype(np.int32)),
+        jnp.asarray(slots),
+        jnp.asarray(vals),
+        jnp.int8,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_mxu_scatter_bf16():
+    import jax
+    import jax.numpy as jnp
+
+    from similaripy_tpu.engine.executor import densify
+    from similaripy_tpu.engine.pallas_kernels import SC, UBR, mxu_scatter
+    from similaripy_tpu.engine.symmetric import (
+        _bin_tiles_mxu,
+        _lpt_user_perm,
+    )
+
+    u_pad, tc = UBR, SC
+    rng = np.random.default_rng(5)
+    nnz = 800
+    lin = rng.choice(u_pad * tc, size=nnz, replace=False)
+    users = (lin // tc).astype(np.int32)
+    slots = (lin % tc).astype(np.int32)
+    vals = (rng.integers(1, 11, size=nnz) * 0.5).astype(np.float32)
+
+    ps, vv, cnt = _bin_tiles_mxu(
+        users[None, :], slots[None, :], vals[None, :], u_pad, tc,
+        int_mode=False,
+    )
+    got = mxu_scatter(
+        jnp.asarray(ps[0]),
+        jnp.asarray(vv[0]),
+        jnp.asarray(cnt[0]),
+        u_pad=u_pad,
+        tc=tc,
+        out_dtype=jnp.bfloat16,
+        interpret=jax.default_backend() != "tpu",
+    )
+    perm = _lpt_user_perm(users[None, :], u_pad)
+    ref = densify(
+        (u_pad, tc),
+        jnp.asarray(perm[users].astype(np.int32)),
+        jnp.asarray(slots),
+        jnp.asarray(vals),
+        jnp.bfloat16,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got).astype(np.float32), np.asarray(ref).astype(np.float32)
+    )

@@ -249,3 +249,28 @@ def test_target_rows_subset_matches(monkeypatch):
         np.testing.assert_allclose(
             sub[[r], :].toarray(), full[[r], :].toarray(), rtol=1e-6
         )
+
+
+def test_mxu_scatter_pipeline(monkeypatch):
+    """Full symmetric pipeline through the MXU-scatter path (tc=512 bins,
+    2-D binning, 3-D anchors, dot_general kernel) vs the general path."""
+    monkeypatch.setenv("SIMILARIPY_TPU_USE_PALLAS", "1")
+    monkeypatch.setenv("SIMILARIPY_TPU_MXU_SCATTER", "1")
+    monkeypatch.setenv("SIMILARIPY_TPU_SYM_TC", "512")
+    monkeypatch.setenv("SIMILARIPY_TPU_SYM_GT", "1")
+    m = _rand(60, 1100, density=0.08, seed=23).T.tocsr()  # 1100 items
+    got, ref = _both_paths(sim.cosine, monkeypatch, m, k=15, verbose=False)
+    np.testing.assert_allclose(check_sum(got), check_sum(ref), rtol=1e-6)
+
+
+def test_mxu_scatter_pipeline_dual_anchor(monkeypatch):
+    monkeypatch.setenv("SIMILARIPY_TPU_USE_PALLAS", "1")
+    monkeypatch.setenv("SIMILARIPY_TPU_MXU_SCATTER", "1")
+    monkeypatch.setenv("SIMILARIPY_TPU_SYM_TC", "512")
+    monkeypatch.setenv("SIMILARIPY_TPU_SYM_GT", "1")
+    m = _rand(45, 2100, density=0.06, seed=29).T.tocsr()  # 5 tiles, pairs
+    got, ref = _both_paths(
+        sim.s_plus, monkeypatch, m, k=11, l1=0.6, t1=0.8, t2=0.8, c1=0.5,
+        verbose=False,
+    )
+    np.testing.assert_allclose(check_sum(got), check_sum(ref), rtol=1e-6)
