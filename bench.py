@@ -24,7 +24,8 @@ Prints ONE JSON line:
 
 Env knobs:
   SIMILARIPY_BENCH_SCALE  fraction of ML-32M nnz (default 1.0)
-  SIMILARIPY_BENCH_ROUNDS timed rounds (default 2; best is reported)
+  SIMILARIPY_BENCH_ROUNDS timed rounds (default 3; best is reported —
+    d2h through the tunnel adds ~1-2s of per-round jitter)
 """
 
 from __future__ import annotations
@@ -71,7 +72,7 @@ def _sample_recall(item_user, result, k: int, n_sample: int, seed: int = 1):
 
 def main():
     scale = float(os.environ.get("SIMILARIPY_BENCH_SCALE", "1.0"))
-    rounds = int(os.environ.get("SIMILARIPY_BENCH_ROUNDS", "2"))
+    rounds = int(os.environ.get("SIMILARIPY_BENCH_ROUNDS", "3"))
 
     # persistent compile cache: first-ever run pays the (slow, possibly
     # remote) XLA compile; later runs and rounds reuse it

@@ -39,6 +39,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = float("-inf")
 
+# diagnosis-only ablations: skip one extraction side of the symmetric
+# kernel to attribute its cost (results are WRONG when set)
+_ABLATE_ROW = os.environ.get("SIMILARIPY_TPU_ABLATE_ROW") == "1"
+_ABLATE_COL = os.environ.get("SIMILARIPY_TPU_ABLATE_COL") == "1"
+
 # block sizes (env-tunable for kernel experiments)
 TM = int(os.environ.get("SIMILARIPY_TPU_TM", 256))  # rows per block
 KB = int(os.environ.get("SIMILARIPY_TPU_KB", 512))  # inner (user) dim per block
@@ -501,6 +506,7 @@ def _sym_kernel(
     yd_ref,
     crv_ref,  # (k_pad_r, TM) f32 — row-side carry in (plane layout)
     cri_ref,  # (k_pad_r, TM) i32
+    rkth_ref,  # (TM, 1) f32 — per-anchor-row carry kth (row-major view)
     ccv_ref,  # (k_pad_c, TC) f32 — col-side carry in (constant index map)
     cci_ref,  # (k_pad_c, TC) i32
     rvals_ref,  # (k_pad, TM) f32 — row-side carry out (merged, sorted desc)
@@ -556,39 +562,57 @@ def _sym_kernel(
     def _():
         xy_ref[:] = jnp.zeros_like(xy_ref)
 
-    if a_3d:
-        # anchors are rhs-oriented (users x slots) dense tiles; the MXU
-        # contracts the shared user (sublane) axis natively, so no
-        # transposed copy of the multi-GB anchor stack ever exists
-        a_blk = a_ref[0]  # (KB, TM)
-        dn = (((0,), (0,)), ((), ()))
-        if int8_mode or a_blk.dtype == jnp.bfloat16:
-            xy_ref[:] += jax.lax.dot_general(
-                a_blk, d_ref[:], dn,
-                preferred_element_type=jnp.int32 if int8_mode
-                else jnp.float32,
+    t_tile = pvec_ref[0, 12].astype(jnp.int32)
+    a0_tile = pvec_ref[0, 13].astype(jnp.int32)
+    rt = a0_tile + (m * tm) // tc  # this block's row tile (constant)
+    # band products cover an anchor's own tiles: blocks strictly below the
+    # inner tile feed NEITHER side (row needs rt <= t, col rt < t), so
+    # their matmul, epilogue and extraction are skipped outright — only
+    # the carry passes through
+    live = rt <= t_tile
+
+    @pl.when(live)
+    def _():
+        if a_3d:
+            # anchors are rhs-oriented (users x slots) dense tiles; the
+            # MXU contracts the shared user (sublane) axis natively, so no
+            # transposed copy of the multi-GB anchor stack ever exists
+            a_blk = a_ref[0]  # (KB, TM)
+            dn = (((0,), (0,)), ((), ()))
+            if int8_mode or a_blk.dtype == jnp.bfloat16:
+                xy_ref[:] += jax.lax.dot_general(
+                    a_blk, d_ref[:], dn,
+                    preferred_element_type=jnp.int32 if int8_mode
+                    else jnp.float32,
+                )
+            else:
+                xy_ref[:] += jax.lax.dot_general(
+                    a_blk, d_ref[:], dn, preferred_element_type=jnp.float32,
+                    precision=prec,
+                )
+        elif int8_mode:
+            xy_ref[:] += jnp.dot(
+                a_ref[:], d_ref[:], preferred_element_type=jnp.int32
+            )
+        elif a_ref.dtype == jnp.bfloat16:
+            xy_ref[:] += jnp.dot(
+                a_ref[:], d_ref[:], preferred_element_type=jnp.float32
             )
         else:
-            xy_ref[:] += jax.lax.dot_general(
-                a_blk, d_ref[:], dn, preferred_element_type=jnp.float32,
+            xy_ref[:] += jnp.dot(
+                a_ref[:], d_ref[:], preferred_element_type=jnp.float32,
                 precision=prec,
             )
-    elif int8_mode:
-        xy_ref[:] += jnp.dot(a_ref[:], d_ref[:], preferred_element_type=jnp.int32)
-    elif a_ref.dtype == jnp.bfloat16:
-        xy_ref[:] += jnp.dot(a_ref[:], d_ref[:], preferred_element_type=jnp.float32)
-    else:
-        xy_ref[:] += jnp.dot(
-            a_ref[:], d_ref[:], preferred_element_type=jnp.float32, precision=prec
-        )
 
-    @pl.when(kk == n_k - 1)
+    @pl.when(jnp.logical_and(kk == n_k - 1, jnp.logical_not(live)))
+    def _():
+        rvals_ref[:] = crv_ref[:]  # dead block: carry passes through
+        ridx_ref[:] = cri_ref[:]
+
+    @pl.when(jnp.logical_and(kk == n_k - 1, live))
     def _():
         col_base = pvec_ref[0, 10].astype(jnp.int32)
         row_base = pvec_ref[0, 11].astype(jnp.int32)
-        t_tile = pvec_ref[0, 12].astype(jnp.int32)
-        a0_tile = pvec_ref[0, 13].astype(jnp.int32)
-        rt = a0_tile + (m * tm) // tc  # this block's row tile (constant)
 
         val = _epilogue_val(
             xy_ref[:], pvec_ref, flags, int8_mode,
@@ -596,19 +620,34 @@ def _sym_kernel(
         )
 
         # ---- row side: anchors gain tile t's columns iff rt <= t ----
-        # phase 1: this block's top-k_pad_r, ids implicit (cheap 3-pass
-        # extraction over the full (tm, tc) plane)
-        val_row = jnp.where(rt <= t_tile, val, NEG_INF)
+        # phase 1: extract this block's top candidates, ids implicit.
+        # Threshold-adaptive: candidates at or below the carry's per-row
+        # kth value cannot enter the merged top-k, so they are pruned
+        # up front and the extraction loop runs only as many iterations
+        # as the fullest row's SURVIVOR count — on a warm carry most
+        # blocks contribute a handful of entries, not k_pad_r.
         cols = jax.lax.broadcasted_iota(jnp.int32, (tm, tc), 1)
+        surv = val > rkth_ref[:]  # (tm, tc); kth = -inf on a cold carry
+        v0 = jnp.where(surv, val, NEG_INF)
+        n_row = jnp.minimum(
+            jnp.max(jnp.sum(surv.astype(jnp.int32), axis=1)),
+            jnp.int32(k_pad_r),
+        )
+        rvals_ref[:] = jnp.full((k_pad_r, tm), NEG_INF, jnp.float32)
+        ridx_ref[:] = jnp.zeros((k_pad_r, tm), jnp.int32)
 
-        def row_body(i, v):
+        def row_step(c):
+            i, v = c
             mx = jnp.max(v, axis=1)
             am = jnp.argmax(v, axis=1).astype(jnp.int32)
             rvals_ref[pl.ds(i, 1), :] = mx[None, :]
             ridx_ref[pl.ds(i, 1), :] = (am + col_base)[None, :]
-            return jnp.where(cols == am[:, None], NEG_INF, v)
+            return i + 1, jnp.where(cols == am[:, None], NEG_INF, v)
 
-        jax.lax.fori_loop(0, k_pad_r, row_body, val_row)
+        if not _ABLATE_ROW:
+            jax.lax.while_loop(
+                lambda c: c[0] < n_row, row_step, (jnp.int32(0), v0)
+            )
 
         # phase 2: merge with the carried top-k over a (2*k_pad_r, tm)
         # sublane-major pool — negligible next to phase 1, and the carry
@@ -631,29 +670,70 @@ def _sym_kernel(
         jax.lax.fori_loop(0, k_pad_r, merge_body, mv)
 
         # ---- col side: tile t's columns gain the anchors iff rt < t ----
-        @pl.when(rt < t_tile)
+        # Threshold-adaptive insertion: prune candidates at or below each
+        # column's current kth, then repeatedly extract the per-column max
+        # (manual first-index argmax along sublanes) and INSERT it into the
+        # sorted accumulator with a one-row roll — every iteration accepts
+        # (survivors are re-pruned against the risen kth), so the loop
+        # runs max-accepts-per-column times, which on a warm carry is tiny.
+        @pl.when(jnp.logical_and(rt < t_tile, not _ABLATE_COL))
         def _():
             ids_new = (row_base + m * tm) + jax.lax.broadcasted_iota(
                 jnp.int32, (tm, tc), 0
             )
-            v = jnp.concatenate([cvals_ref[:], val], axis=0)  # (k_pad_c+TM, tc)
-            ids = jnp.concatenate([cidx_ref[:], ids_new], axis=0)
-            rows = jax.lax.broadcasted_iota(jnp.int32, (k_pad_c + tm, tc), 0)
-            big = jnp.int32(k_pad_c + tm)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (tm, tc), 0)
+            rowpos = jax.lax.broadcasted_iota(jnp.int32, (k_pad_c, tc), 0)
+            big = jnp.int32(tm)
+            kth0 = cvals_ref[k_pad_c - 1:k_pad_c, :]  # (1, tc)
+            vcol = jnp.where(val > kth0, val, NEG_INF)
 
-            def col_body(i, v):
-                mx = jnp.max(v, axis=0)
-                # manual first-index argmax along the sublane axis
-                am = jnp.min(
-                    jnp.where(v == mx[None, :], rows, big), axis=0
+            def col_cond(c):
+                i, v, _av, _ai = c
+                any_alive = jnp.max(v, axis=0)  # (tc,)
+                return jnp.logical_and(
+                    i < k_pad_c, jnp.max(any_alive) > NEG_INF
                 )
-                cvals_ref[pl.ds(i, 1), :] = mx[None, :]
-                cidx_ref[pl.ds(i, 1), :] = jnp.max(
-                    jnp.where(rows == am[None, :], ids, -1), axis=0
-                )[None, :]
-                return jnp.where(rows == am[None, :], NEG_INF, v)
 
-            jax.lax.fori_loop(0, k_pad_c, col_body, v)
+            def col_step(c):
+                i, v, av, ai = c
+                mx = jnp.max(v, axis=0)[None, :]  # (1, tc)
+                am = jnp.min(
+                    jnp.where(v == mx, rows, big), axis=0
+                )[None, :]
+                xid = jnp.max(
+                    jnp.where(rows == am, ids_new, -1), axis=0
+                )[None, :]
+                kth = av[k_pad_c - 1:k_pad_c, :]
+                accept = mx > kth
+                x = jnp.where(accept, mx, NEG_INF)
+                # insert x into the sorted-desc accumulator (no-op if -inf)
+                ge = av >= x
+                # Mosaic cannot rotate sub-word (i1) vectors: roll an i32
+                # image of the mask and compare back
+                sh_v = pltpu.roll(av, 1, axis=0)
+                sh_i = pltpu.roll(ai, 1, axis=0)
+                sh_ge = jnp.logical_or(
+                    rowpos == 0,
+                    pltpu.roll(ge.astype(jnp.int32), 1, axis=0) != 0,
+                )
+                nav = jnp.where(
+                    ge, av, jnp.where(sh_ge, jnp.broadcast_to(x, av.shape), sh_v)
+                )
+                nai = jnp.where(
+                    ge, ai,
+                    jnp.where(sh_ge, jnp.broadcast_to(xid, ai.shape), sh_i),
+                )
+                nkth = nav[k_pad_c - 1:k_pad_c, :]
+                v = jnp.where(rows == am, NEG_INF, v)
+                v = jnp.where(v > nkth, v, NEG_INF)
+                return i + 1, v, nav, nai
+
+            _i, _v, acc_v, acc_i = jax.lax.while_loop(
+                col_cond, col_step,
+                (jnp.int32(0), vcol, cvals_ref[:], cidx_ref[:]),
+            )
+            cvals_ref[:] = acc_v
+            cidx_ref[:] = acc_i
 
 
 def sym_k_pads(k: int, tc: int, sw: int) -> tuple[int, int]:
@@ -676,6 +756,7 @@ def fused_sym_topk(
     y_d,
     crv,  # (k_pad_r, sw) f32 — row-side carry plane slice
     cri,  # (k_pad_r, sw) i32
+    rkth,  # (sw, 1) f32 — per-anchor-row carry kth (crv's last row, rotated)
     ccv,  # (k_pad_c, tc) f32 — col-side carry
     cci,  # (k_pad_c, tc) i32
     pvec_ext,  # (16,) f32 — build_pvec + [10]=col_base [11]=row_base
@@ -714,6 +795,7 @@ def fused_sym_topk(
     assert sw % tm == 0 and u_pad % KB == 0 and d.shape[1] == tc, (sw, u_pad)
     assert tc % tm == 0, (tc, tm)
     assert crv.shape == (k_pad_r, sw) and ccv.shape == (k_pad_c, tc)
+    assert rkth.shape == (sw, 1)
 
     if precision == jax.lax.Precision.HIGH:
         precision = jax.lax.Precision.HIGHEST
@@ -733,6 +815,7 @@ def fused_sym_topk(
     in_specs += [
         pl.BlockSpec((k_pad_r, tm), lambda m, kk: (0, m)),
         pl.BlockSpec((k_pad_r, tm), lambda m, kk: (0, m)),
+        pl.BlockSpec((tm, 1), lambda m, kk: (m, 0)),
         pl.BlockSpec((k_pad_c, tc), lambda m, kk: (0, 0)),
         pl.BlockSpec((k_pad_c, tc), lambda m, kk: (0, 0)),
     ]
@@ -788,6 +871,7 @@ def fused_sym_topk(
         y_d.reshape(1, tc),
         crv,
         cri,
+        rkth,
         ccv,
         cci,
     )

@@ -562,12 +562,15 @@ def _sweep_chunk(
                 cri_blk = jax.lax.dynamic_slice(
                     cri, (0, base_a), (k_pad_r, sw)
                 )
+                # per-anchor-row carry kth, rotated to row-major for the
+                # kernel's threshold-adaptive extraction
+                rkth_blk = crv_blk[k_pad_r - 1].reshape(sw, 1)
                 ccv_blk = jax.lax.dynamic_slice(ccv, (0, base_t), (k_pad_c, tc))
                 cci_blk = jax.lax.dynamic_slice(cci, (0, base_t), (k_pad_c, tc))
                 rvals, ridx, cvals, cidx = fused_sym_topk(
                     lhs, d, a["xt"], a["xc"], a["xd"],
                     xs["y_t"], xs["y_c"], xs["y_d"],
-                    crv_blk, cri_blk, ccv_blk, cci_blk, pvec_ext,
+                    crv_blk, cri_blk, rkth_blk, ccv_blk, cci_blk, pvec_ext,
                     flags=flags, k=k, tc=tc,
                     int8_mode=int_mode, precision=prec,
                     interpret=interpret,
