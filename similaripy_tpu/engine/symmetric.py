@@ -464,15 +464,16 @@ def _bin_tiles_mxu(t_users, t_slots, t_vals, u_pad: int, tc: int,
     static_argnames=(
         "flags", "k", "gt", "tc", "u_pad", "cs", "n_anchors",
         "compute_dtype", "precision", "use_pallas", "mxu",
-        "anchor_inner",
+        "anchor_inner", "prefill",
     ),
-    donate_argnums=(2,),
+    donate_argnums=(2, 3),
 )
 def _sweep_chunk(
     anchors,  # tuple of dicts: lhs (gt,tc,u_pad), xt/xc/xd (sw,), a0 scalar
     tiles,  # dict of (cs, ...) stacked per-tile arrays: tid, ru, sl, vv, y_*
     carry,  # donated; pallas: (crv, cri, ccv, cci) (k_pad_*, Cdev) planes,
     #         xla: (cv, ci) (Cdev, k)
+    parena,  # donated (gt, u_pad, tc) arena when prefilling, else (1,) dummy
     pvec,
     *,
     flags: tuple,
@@ -487,6 +488,7 @@ def _sweep_chunk(
     use_pallas: bool,
     mxu: bool = False,
     anchor_inner: int = -1,
+    prefill: bool = False,
 ):
     """cs inner tiles x n_anchors resident row blocks, one dispatch.
 
@@ -517,7 +519,10 @@ def _sweep_chunk(
 
         k_pad_r, k_pad_c = sym_k_pads(k, tc, sw)
 
-    def step(carry, xs):
+    pf_t0 = tiles["tid"][0]  # chunk's first tile (traced)
+
+    def step(state, xs):
+        carry, parena = state
         t = xs["tid"]  # global tile index, i32 scalar
         if anchor_inner >= 0:
             # this chunk's inner tiles ARE an anchor's tiles: slice the
@@ -535,6 +540,14 @@ def _sweep_chunk(
             )
         else:
             d = densify((u_pad, tc), xs["ru"], xs["sl"], xs["vv"], cdt)
+        if prefill:
+            # this chunk's tiles are the NEXT pair's anchors: keep the
+            # freshly scattered rhs tile resident, retiring its re-scatter
+            # at that pair's start (pf_t0 is traced, so every prefill
+            # chunk shares one compiled program)
+            parena = jax.lax.dynamic_update_slice(
+                parena, d[None], (t - pf_t0, 0, 0)
+            )
         base_t = t * tc
         if not use_pallas:
             cv, ci = carry
@@ -614,10 +627,10 @@ def _sweep_chunk(
             ci = jax.lax.dynamic_update_slice(ci, ni2, (base_t, 0))
         if not use_pallas:
             carry = (cv, ci)
-        return carry, None
+        return (carry, parena), None
 
-    carry, _ = jax.lax.scan(step, carry, tiles)
-    return carry
+    (carry, parena), _ = jax.lax.scan(step, (carry, parena), tiles)
+    return carry, parena
 
 
 @partial(jax.jit, static_argnames=("size",))
@@ -730,7 +743,7 @@ def execute_symmetric(
 
         mxu = tc % SC == 0  # small tiles keep the XLA scatter
     if mxu:
-        u_pad = _round_up(u_pad, max(KB, UBR))
+        u_pad = _round_up(u_pad, math.lcm(KB, UBR))
 
     n_tiles = math.ceil(C / tc)
     n_groups = math.ceil(n_tiles / gt)
@@ -892,22 +905,56 @@ def execute_symmetric(
         else ("tid", "ru", "sl", "vv", "y_t", "y_c", "y_d")
     )
 
-    def sweep(anchors, groups, c0: int, c1: int):
+    # ---- anchor prefill (opt-in experiment): keep the NEXT pair's ----
+    # ---- anchor tiles from the current sweep instead of re-scattering ----
+    # Retires 15 of 48 scatters at ML-32M geometry and the sweeps DO get
+    # faster, but peak residency grows to 4 anchor stacks (~13 GB) and the
+    # measured end-to-end result is WORSE (5,774 vs 7,962 items/s): with
+    # HBM nearly full, the packed d2h readbacks stall 1.6-4.8 s/round
+    # through the tunnel instead of overlapping. Off by default; gated on
+    # the measured device capacity when enabled.
+    from .executor import compute_cast as _cc
+
+    _cdt_store = _cc(compute_dtype)[0]
+    isz = {"int8": 1, "int4": 1, "bfloat16": 2}.get(compute_dtype, 4)
+    _cap = float(os.environ.get("SIMILARIPY_TPU_HBM_CAP_GB", "15")) * 2**30
+    _lean = (
+        m2.nnz * 4 * 3 * 1.3  # device COO (or binned) arrays
+        + u_pad * tc * (2 + isz)  # scatter transient + cast
+        + (1 << 29)  # carries, snapshots, slack
+    )
+    prefill_ok = (
+        use_pallas
+        and os.environ.get("SIMILARIPY_TPU_SYM_PREFILL", "0") in ("1", "true")
+        and 4 * gt * tc * u_pad * isz + _lean <= _cap
+    )
+
+    _dummy = [jnp.zeros((1,), jnp.int8)]
+
+    def sweep(anchors, groups, c0: int, c1: int, pf_map=None, filled=None):
         nonlocal carry
         for s in range(c0, c1, gt):
             g = s // gt
             ai = groups.index(g) if use_pallas and g in groups else -1
+            pf = pf_map is not None and g in pf_map
+            arena = pf_map.pop(g) if pf else _dummy[0]
             chunk = {name: dev[name][s : s + gt] for name in chunk_names}
-            carry = _sweep_chunk(
-                tuple(anchors), chunk, carry, pvec,
+            carry, arena = _sweep_chunk(
+                tuple(anchors), chunk, carry, arena, pvec,
                 flags=flags, k=k, gt=gt, tc=tc, u_pad=u_pad,
                 cs=gt, n_anchors=len(anchors),
                 compute_dtype=compute_dtype, precision=precision,
                 use_pallas=use_pallas, mxu=mxu, anchor_inner=ai,
+                prefill=pf,
             )
+            if pf:
+                filled[g] = arena
+            else:
+                _dummy[0] = arena
             if timing_sync:
                 _lap(
-                    f"  chunk t={s}..{s + gt - 1} x{len(anchors)}a",
+                    f"  chunk t={s}..{s + gt - 1} x{len(anchors)}a"
+                    + (" pf" if pf else ""),
                     sync=carry[0],
                 )
 
@@ -925,19 +972,46 @@ def execute_symmetric(
     snapshots = []
     done_rows = 0
     retired: list = []  # previous pair's lhs buffers, ready for donation
+    filled_prev: dict = {}  # group -> prefilled anchor stack
     for pi, pair in enumerate(pair_list):
-        anchors = [
-            make_anchor(a, reuse=retired.pop() if retired else None)
-            for a in pair
-        ]
-        retired = []
+        anchors = []
+        for a in pair:
+            if a in filled_prev:
+                t0a = a * gt
+                anchors.append({
+                    "lhs": filled_prev.pop(a),
+                    "xt": dev["y_t"][t0a:t0a + gt].reshape(sw),
+                    "xc": dev["y_c"][t0a:t0a + gt].reshape(sw),
+                    "xd": dev["y_d"][t0a:t0a + gt].reshape(sw),
+                    "a0": jnp.int32(t0a),
+                })
+                if timing_sync:
+                    _lap(f"  anchor {a} prefilled")
+            else:
+                anchors.append(
+                    make_anchor(a, reuse=retired.pop() if retired else None)
+                )
         a0 = pair[0] * gt
+        # prefill targets for the next pair's anchors, donated from the
+        # retired arenas when available (fresh zeros otherwise)
+        pf_map: dict = {}
+        if prefill_ok and pi + 1 < len(pair_list):
+            for g in pair_list[pi + 1]:
+                pf_map[g] = (
+                    retired.pop()
+                    if retired
+                    else jnp.zeros((gt, u_pad, tc), _cdt_store)
+                )
+        retired = []
+        filled: dict = {}
         if len(pair) == 2:
             # band tiles: first anchor only
             sweep(anchors[:1], [pair[0]], a0, pair[1] * gt)
-            sweep(anchors, list(pair), pair[1] * gt, n_tiles_dev)
+            sweep(anchors, list(pair), pair[1] * gt, n_tiles_dev,
+                  pf_map, filled)
         else:
-            sweep(anchors, list(pair), a0, n_tiles_dev)
+            sweep(anchors, list(pair), a0, n_tiles_dev, pf_map, filled)
+        filled_prev = filled
         size = len(pair) * sw
         if use_pallas:
             packed = _pack_rows_dual(

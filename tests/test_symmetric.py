@@ -274,3 +274,15 @@ def test_mxu_scatter_pipeline_dual_anchor(monkeypatch):
         verbose=False,
     )
     np.testing.assert_allclose(check_sum(got), check_sum(ref), rtol=1e-6)
+
+
+def test_prefill_anchor_path(monkeypatch):
+    """Opt-in anchor prefill (sweep keeps the next pair's anchor tiles)
+    must reproduce the general path exactly."""
+    monkeypatch.setenv("SIMILARIPY_TPU_USE_PALLAS", "1")
+    monkeypatch.setenv("SIMILARIPY_TPU_SYM_PREFILL", "1")
+    monkeypatch.setenv("SIMILARIPY_TPU_SYM_TC", "128")
+    monkeypatch.setenv("SIMILARIPY_TPU_SYM_GT", "2")
+    m = _rand(70, 1700, seed=31).T.tocsr()  # 14 tiles, 7 groups, 4 pairs
+    got, ref = _both_paths(sim.cosine, monkeypatch, m, k=13, verbose=False)
+    np.testing.assert_allclose(check_sum(got), check_sum(ref), rtol=1e-6)
