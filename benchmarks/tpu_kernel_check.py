@@ -157,6 +157,17 @@ def main():
         ("sym cosine bf16",
          lambda: sim.cosine(m, k=50, compute_dtype="bfloat16",
                             verbose=False), 5e-2),
+        # asymmetric epilogues on the symmetric path (round 2): the col-side
+        # delivery re-runs the epilogue with swapped X/Y roles in-kernel
+        ("sym tversky asym",
+         lambda: sim.tversky(m, alpha=0.2, beta=0.9, k=50, verbose=False),
+         1e-5),
+        ("sym asym-cosine",
+         lambda: sim.asymmetric_cosine(m, alpha=0.2, k=50, verbose=False),
+         1e-5),
+        ("sym rp3beta (refactored)",
+         lambda: sim.rp3beta(m, alpha=0.7, beta=0.4, k=50, verbose=False),
+         1e-5),
     ]
     gen_variants = [
         ("gen cosine int8 (target_rows)",

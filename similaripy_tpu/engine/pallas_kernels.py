@@ -506,17 +506,10 @@ def _sym_kernel(
     yt_ref,  # (1, TC) f32
     yc_ref,
     yd_ref,
-    crv_ref,  # (k_pad_r, TM) f32 — row-side carry in (plane layout)
-    cri_ref,  # (k_pad_r, TM) i32
-    rkth_ref,  # (TM, 1) f32 — per-anchor-row carry kth (row-major view)
-    ccv_ref,  # (k_pad_c, TC) f32 — col-side carry in (constant index map)
-    cci_ref,  # (k_pad_c, TC) i32
-    rvals_ref,  # (k_pad, TM) f32 — row-side carry out (merged, sorted desc)
-    ridx_ref,  # (k_pad, TM) i32
-    cvals_ref,  # (k_pad, TC) f32 — col-side accumulator (revisited: constant
-    cidx_ref,  # (k_pad, TC) i32    index map keeps it VMEM-resident)
-    xy_ref,  # scratch (TM, TC) acc
-    *,
+    *rest,  # [asym: xt2(1,TC) xc2 xd2, yt2(TM,1) yc2 yd2] then:
+    # crv (k_pad_r, TM) f32 row carry in, cri i32, rkth (TM,1) f32,
+    # ccv (k_pad_c, TC) f32 col carry in, cci i32; outputs rvals/ridx
+    # (k_pad_r, TM), cvals/cidx (k_pad_c, TC); scratch xy (TM, TC)
     flags: tuple,
     int8_mode: bool,
     prec,
@@ -525,6 +518,8 @@ def _sym_kernel(
     tm: int,
     tc: int,
     a_3d: bool = False,  # anchor stored as (gt, u_pad, tc) rhs-oriented tiles
+    asym: bool = False,  # epilogue differs per side: col delivery re-runs it
+    #                      with the X/Y roles swapped (value-symmetric xy)
 ):
     """Self-similarity block: one MXU pass feeds BOTH top-K directions.
 
@@ -551,6 +546,25 @@ def _sym_kernel(
     k_pad_r extra lanes of the extraction pool; winner ids resolve via a
     compare+max select over the pool's id plane.
     """
+    it = iter(rest)
+    if asym:
+        xt2_ref = next(it)  # (1, TC) — X-vectors at the tile's items
+        xc2_ref = next(it)
+        xd2_ref = next(it)
+        yt2_ref = next(it)  # (TM, 1) — Y-vectors at the anchor's items
+        yc2_ref = next(it)
+        yd2_ref = next(it)
+    crv_ref = next(it)
+    cri_ref = next(it)
+    rkth_ref = next(it)
+    ccv_ref = next(it)
+    cci_ref = next(it)
+    rvals_ref = next(it)
+    ridx_ref = next(it)
+    cvals_ref = next(it)
+    cidx_ref = next(it)
+    xy_ref = next(it)
+
     m = pl.program_id(0)
     kk = pl.program_id(1)
     n_k = pl.num_programs(1)
@@ -686,8 +700,19 @@ def _sym_kernel(
             rows = jax.lax.broadcasted_iota(jnp.int32, (tm, tc), 0)
             rowpos = jax.lax.broadcasted_iota(jnp.int32, (k_pad_c, tc), 0)
             big = jnp.int32(tm)
+            if asym:
+                # value-symmetric xy, side-dependent epilogue: the col
+                # delivery (tile item = target, anchor item = candidate)
+                # re-runs the epilogue with the X/Y roles swapped
+                val_c = _epilogue_val(
+                    xy_ref[:], pvec_ref, flags, int8_mode,
+                    xt2_ref, xc2_ref, xd2_ref, yt2_ref, yc2_ref, yd2_ref,
+                    None,
+                )
+            else:
+                val_c = val
             kth0 = cvals_ref[k_pad_c - 1:k_pad_c, :]  # (1, tc)
-            vcol = jnp.where(val > kth0, val, NEG_INF)
+            vcol = jnp.where(val_c > kth0, val_c, NEG_INF)
 
             def col_cond(c):
                 i, v, _av, _ai = c
@@ -769,6 +794,8 @@ def fused_sym_topk(
     tc: int,
     int8_mode: bool,
     precision,
+    x2=None,  # asym epilogue: (xt, xc, xd) X-vectors at the TILE's items (tc,)
+    y2=None,  # asym epilogue: (yt, yc, yd) Y-vectors at the ANCHOR's items (sw,)
     interpret: bool = False,
 ):
     """Dual-sided fused similarity top-K + carry merge for the symmetric
@@ -814,6 +841,10 @@ def fused_sym_topk(
     ]
     in_specs += [pl.BlockSpec((tm, 1), lambda m, kk: (m, 0))] * 3
     in_specs += [pl.BlockSpec((1, tc), lambda m, kk: (0, 0))] * 3
+    asym = x2 is not None
+    if asym:
+        in_specs += [pl.BlockSpec((1, tc), lambda m, kk: (0, 0))] * 3
+        in_specs += [pl.BlockSpec((tm, 1), lambda m, kk: (m, 0))] * 3
     in_specs += [
         pl.BlockSpec((k_pad_r, tm), lambda m, kk: (0, m)),
         pl.BlockSpec((k_pad_r, tm), lambda m, kk: (0, m)),
@@ -832,6 +863,7 @@ def fused_sym_topk(
         tm=tm,
         tc=tc,
         a_3d=a_3d,
+        asym=asym,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -871,6 +903,18 @@ def fused_sym_topk(
         y_t.reshape(1, tc),
         y_c.reshape(1, tc),
         y_d.reshape(1, tc),
+        *(
+            [
+                x2[0].reshape(1, tc),
+                x2[1].reshape(1, tc),
+                x2[2].reshape(1, tc),
+                y2[0].reshape(sw, 1),
+                y2[1].reshape(sw, 1),
+                y2[2].reshape(sw, 1),
+            ]
+            if asym
+            else []
+        ),
         crv,
         cri,
         rkth,

@@ -44,9 +44,15 @@ merges into the global carry. Off-TPU (or SIMILARIPY_TPU_USE_PALLAS=0)
 the XLA chain [dot -> epilogue -> transpose -> hierarchical top_k] runs
 instead. Either way the result is identical to the general path: same
 epilogue math, same candidate semantics (xy != 0), exact top-K.
-Eligibility is conservative (symmetric_eligible): value symmetry requires
-matrix2 to be matrix1.T with mirrored normalization vectors and t1 == t2;
-row/column selectors and target subsets fall back to the general executor.
+Eligibility (symmetric_eligible) requires only VALUE symmetry of the
+score matrix — matrix2 is matrix1.T (every ``matrix2=None`` call) — plus
+natural row order and no selectors. ASYMMETRIC EPILOGUES are handled:
+when t1 != t2 or the X/Y normalization vectors differ (tversky,
+asymmetric_cosine, rp3beta-style one-sided depop), the col-side delivery
+re-runs the epilogue with the X/Y roles swapped on the same xy block
+(epilogue_is_symmetric picks the cheap single-epilogue path otherwise).
+p3alpha/rp3beta reach this executor through the value-symmetric
+refactoring in similarity.py (A = m^a c^(-a/2), row-side depop r^a).
 
 Reference parity: this replaces the same work as the reference's blocked
 Gustavson loop (s_plus.h:358-410) for the ``matrix2=None`` call family —
@@ -120,13 +126,23 @@ def symmetric_eligible(pre: Preprocessed, params: SPlusParams,
         return False
     if not np.array_equal(t, np.arange(C, dtype=t.dtype)):
         return False
+    if pre.qscale1 != pre.qscale2:
+        return False
+    # NOTE: epilogue asymmetry (t1 != t2, differing X/Y vectors — tversky,
+    # asymmetric_cosine, rp3beta-style one-sided depop) is fine: the score
+    # matrix xy = m1 @ m1.T is still value-symmetric, and the executor
+    # re-runs the epilogue with the X/Y roles swapped for the col-side
+    # delivery (epilogue_is_symmetric below picks the cheap path).
+    return True
+
+
+def epilogue_is_symmetric(pre: Preprocessed, params: SPlusParams) -> bool:
+    """True when one epilogue value serves both delivery directions."""
     if params.l1 != 0.0 and params.t1 != params.t2:
-        return False  # asymmetric Tversky weights
+        return False
     for a, b in ((pre.Xt, pre.Yt), (pre.Xc, pre.Yc), (pre.Xd, pre.Yd)):
         if not _vec_pair_equal(a, b):
             return False
-    if pre.qscale1 != pre.qscale2:
-        return False
     return True
 
 
@@ -464,7 +480,7 @@ def _bin_tiles_mxu(t_users, t_slots, t_vals, u_pad: int, tc: int,
     static_argnames=(
         "flags", "k", "gt", "tc", "u_pad", "cs", "n_anchors",
         "compute_dtype", "precision", "use_pallas", "mxu",
-        "anchor_inner", "prefill",
+        "anchor_inner", "prefill", "asym",
     ),
     donate_argnums=(2, 3),
 )
@@ -489,6 +505,7 @@ def _sweep_chunk(
     mxu: bool = False,
     anchor_inner: int = -1,
     prefill: bool = False,
+    asym: bool = False,
 ):
     """cs inner tiles x n_anchors resident row blocks, one dispatch.
 
@@ -586,6 +603,8 @@ def _sweep_chunk(
                     crv_blk, cri_blk, rkth_blk, ccv_blk, cci_blk, pvec_ext,
                     flags=flags, k=k, tc=tc,
                     int8_mode=int_mode, precision=prec,
+                    x2=(xs["x_t"], xs["x_c"], xs["x_d"]) if asym else None,
+                    y2=(a["y2t"], a["y2c"], a["y2d"]) if asym else None,
                     interpret=interpret,
                 )
                 crv = jax.lax.dynamic_update_slice(crv, rvals, (0, base_a))
@@ -617,8 +636,17 @@ def _sweep_chunk(
             ci = jax.lax.dynamic_update_slice(ci, ni, (base_a, 0))
 
             # col side: tile t's rows gain anchor candidates
-            # (tile(candidate) < t — strict, so the band is not doubled)
-            colv = jnp.where(row_tile < t, val, NEG_INF).T  # (tc, sw)
+            # (tile(candidate) < t — strict, so the band is not doubled);
+            # with an asymmetric epilogue the delivered value re-runs it
+            # with the X/Y roles swapped (xy itself is value-symmetric)
+            if asym:
+                val_c_t = splus_epilogue(
+                    xy.T, candidate.T, xs["x_t"], xs["x_c"], xs["x_d"],
+                    a["y2t"], a["y2c"], a["y2d"], pvec, flags,
+                )
+                colv = jnp.where(row_tile.T < t, val_c_t, NEG_INF)  # (tc, sw)
+            else:
+                colv = jnp.where(row_tile < t, val, NEG_INF).T  # (tc, sw)
             cv_t = jax.lax.dynamic_slice(cv, (base_t, 0), (tc, k))
             ci_t = jax.lax.dynamic_slice(ci, (base_t, 0), (tc, k))
             cand_ids = base_a + jax.lax.broadcasted_iota(jnp.int32, (1, sw), 1)
@@ -755,6 +783,7 @@ def execute_symmetric(
     prep_key = (
         "sym", pre.fp2,
         _fingerprint(pre.Yt, pre.Yc, pre.Yd),
+        _fingerprint(pre.Xt, pre.Xc, pre.Xd),
         compute_dtype, tc, n_tiles_dev, u_pad, mxu,
     )
     cached = _cache_get(prep_key)
@@ -786,11 +815,17 @@ def execute_symmetric(
         yt = _vec_by_map(pre.Yt, item_map, C).reshape(n_tiles_dev, tc)
         yc = _vec_by_map(pre.Yc, item_map, C).reshape(n_tiles_dev, tc)
         yd = _vec_by_map(pre.Yd, item_map, C).reshape(n_tiles_dev, tc)
+        xt = _vec_by_map(pre.Xt, item_map, C).reshape(n_tiles_dev, tc)
+        xc = _vec_by_map(pre.Xc, item_map, C).reshape(n_tiles_dev, tc)
+        xd = _vec_by_map(pre.Xd, item_map, C).reshape(n_tiles_dev, tc)
 
         dev = {
             "y_t": jnp.asarray(yt),
             "y_c": jnp.asarray(yc),
             "y_d": jnp.asarray(yd),
+            "x_t": jnp.asarray(xt),
+            "x_c": jnp.asarray(xc),
+            "x_d": jnp.asarray(xd),
             "tid": jnp.arange(n_tiles_dev, dtype=jnp.int32),
         }
         if mxu:
@@ -811,6 +846,7 @@ def execute_symmetric(
 
     pvec = jnp.asarray(build_pvec(params, inv_scale))
     flags = params.static_flags()
+    asym = not epilogue_is_symmetric(pre, params)
 
     if use_pallas:
         from .pallas_kernels import sym_k_pads
@@ -893,16 +929,20 @@ def execute_symmetric(
             _lap(f"  anchor {a} densify ({gt} tiles)", sync=lhs)
         return {
             "lhs": lhs,
-            "xt": dev["y_t"][t0:t1].reshape(sw),
-            "xc": dev["y_c"][t0:t1].reshape(sw),
-            "xd": dev["y_d"][t0:t1].reshape(sw),
+            "xt": dev["x_t"][t0:t1].reshape(sw),
+            "xc": dev["x_c"][t0:t1].reshape(sw),
+            "xd": dev["x_d"][t0:t1].reshape(sw),
+            "y2t": dev["y_t"][t0:t1].reshape(sw),
+            "y2c": dev["y_c"][t0:t1].reshape(sw),
+            "y2d": dev["y_d"][t0:t1].reshape(sw),
             "a0": jnp.int32(t0),
         }
 
     chunk_names = (
-        ("tid", "ps", "vv", "cnt", "y_t", "y_c", "y_d")
+        ("tid", "ps", "vv", "cnt", "y_t", "y_c", "y_d", "x_t", "x_c", "x_d")
         if mxu
-        else ("tid", "ru", "sl", "vv", "y_t", "y_c", "y_d")
+        else ("tid", "ru", "sl", "vv", "y_t", "y_c", "y_d",
+              "x_t", "x_c", "x_d")
     )
 
     # ---- anchor prefill (opt-in experiment): keep the NEXT pair's ----
@@ -945,7 +985,7 @@ def execute_symmetric(
                 cs=gt, n_anchors=len(anchors),
                 compute_dtype=compute_dtype, precision=precision,
                 use_pallas=use_pallas, mxu=mxu, anchor_inner=ai,
-                prefill=pf,
+                prefill=pf, asym=asym,
             )
             if pf:
                 filled[g] = arena
@@ -980,9 +1020,12 @@ def execute_symmetric(
                 t0a = a * gt
                 anchors.append({
                     "lhs": filled_prev.pop(a),
-                    "xt": dev["y_t"][t0a:t0a + gt].reshape(sw),
-                    "xc": dev["y_c"][t0a:t0a + gt].reshape(sw),
-                    "xd": dev["y_d"][t0a:t0a + gt].reshape(sw),
+                    "xt": dev["x_t"][t0a:t0a + gt].reshape(sw),
+                    "xc": dev["x_c"][t0a:t0a + gt].reshape(sw),
+                    "xd": dev["x_d"][t0a:t0a + gt].reshape(sw),
+                    "y2t": dev["y_t"][t0a:t0a + gt].reshape(sw),
+                    "y2c": dev["y_c"][t0a:t0a + gt].reshape(sw),
+                    "y2d": dev["y_d"][t0a:t0a + gt].reshape(sw),
                     "a0": jnp.int32(t0a),
                 })
                 if timing_sync:

@@ -177,26 +177,63 @@ def test_eligibility_gates():
     # not a self-similarity call
     pre_x = prep_mod.preprocess(m, m.T, l2=1.0)
     assert not symmetric_eligible(pre_x, params, 0)
-    # asymmetric tversky weights
+    # asymmetric EPILOGUES are now eligible: xy stays value-symmetric and
+    # the executor re-runs the epilogue with swapped X/Y roles for the
+    # col-side delivery (tversky t1!=t2, asymmetric cosine, one-sided
+    # depop); correctness is pinned by test_asym_epilogue_* below
     params_asym = SPlusParams(a1=1, l1=1, l2=0, l3=0, t1=0.3, t2=0.9,
                               stabilized_shrink=0, bayesian_shrink=0,
                               threshold=0)
     pre_l1 = _pre(m, l1=1.0)
-    assert not symmetric_eligible(pre_l1, params_asym, 0)
-    # asymmetric cosine exponents produce unequal norm vectors
+    assert symmetric_eligible(pre_l1, params_asym, 0)
+    from similaripy_tpu.engine.symmetric import epilogue_is_symmetric
+    assert not epilogue_is_symmetric(pre_l1, params_asym)
     pre_ac = _pre(m, l2=1.0, c1=0.2, c2=0.8)
-    assert not symmetric_eligible(pre_ac, params, 0)
+    assert symmetric_eligible(pre_ac, params, 0)
+    assert not epilogue_is_symmetric(pre_ac, params)
 
 
-def test_asymmetric_params_fall_back_correctly(monkeypatch):
-    """Calls that fail the symmetry gate still produce correct results
-    (through the general path) — end to end."""
+def test_asym_epilogue_tversky(monkeypatch):
+    """Asymmetric tversky rides the symmetric path (swapped col-side
+    epilogue) and must match the general path exactly."""
     monkeypatch.setenv("SIMILARIPY_TPU_SYM_TC", "128")
-    m = _rand(40, 200, seed=37).T.tocsr()
-    got = sim.tversky(m, alpha=0.2, beta=0.9, k=9, verbose=False)
-    monkeypatch.setenv("SIMILARIPY_TPU_SYMMETRIC", "0")
-    sim.clear_caches()
-    ref = sim.tversky(m, alpha=0.2, beta=0.9, k=9, verbose=False)
+    monkeypatch.setenv("SIMILARIPY_TPU_SYM_GT", "2")
+    m = _rand(40, 700, seed=37).T.tocsr()  # several tiles + pairs
+    got, ref = _both_paths(
+        sim.tversky, monkeypatch, m, alpha=0.2, beta=0.9, k=9, verbose=False
+    )
+    np.testing.assert_allclose(check_sum(got), check_sum(ref), rtol=1e-6)
+
+
+def test_asym_epilogue_tversky_pallas(monkeypatch):
+    monkeypatch.setenv("SIMILARIPY_TPU_USE_PALLAS", "1")
+    monkeypatch.setenv("SIMILARIPY_TPU_SYM_TC", "128")
+    monkeypatch.setenv("SIMILARIPY_TPU_SYM_GT", "2")
+    m = _rand(40, 700, seed=37).T.tocsr()
+    got, ref = _both_paths(
+        sim.tversky, monkeypatch, m, alpha=0.2, beta=0.9, k=9, verbose=False
+    )
+    np.testing.assert_allclose(check_sum(got), check_sum(ref), rtol=1e-6)
+
+
+def test_asym_epilogue_asymmetric_cosine(monkeypatch):
+    monkeypatch.setenv("SIMILARIPY_TPU_SYM_TC", "128")
+    monkeypatch.setenv("SIMILARIPY_TPU_SYM_GT", "1")
+    m = _rand(50, 600, seed=41).T.tocsr()
+    got, ref = _both_paths(
+        sim.asymmetric_cosine, monkeypatch, m, alpha=0.2, k=11, verbose=False
+    )
+    np.testing.assert_allclose(check_sum(got), check_sum(ref), rtol=1e-6)
+
+
+def test_asym_epilogue_asymmetric_cosine_pallas(monkeypatch):
+    monkeypatch.setenv("SIMILARIPY_TPU_USE_PALLAS", "1")
+    monkeypatch.setenv("SIMILARIPY_TPU_SYM_TC", "128")
+    monkeypatch.setenv("SIMILARIPY_TPU_SYM_GT", "1")
+    m = _rand(50, 600, seed=41).T.tocsr()
+    got, ref = _both_paths(
+        sim.asymmetric_cosine, monkeypatch, m, alpha=0.2, k=11, verbose=False
+    )
     np.testing.assert_allclose(check_sum(got), check_sum(ref), rtol=1e-6)
 
 
@@ -286,3 +323,40 @@ def test_prefill_anchor_path(monkeypatch):
     m = _rand(70, 1700, seed=31).T.tocsr()  # 14 tiles, 7 groups, 4 pairs
     got, ref = _both_paths(sim.cosine, monkeypatch, m, k=13, verbose=False)
     np.testing.assert_allclose(check_sum(got), check_sum(ref), rtol=1e-6)
+
+
+def test_rp3beta_value_symmetric_refactor(monkeypatch):
+    """rp3beta's self-similar shrink-free form rides the symmetric path
+    (row-depop + col-depop + swapped col epilogue) and must match the
+    general path AND the plain (non-refactored) formulation."""
+    monkeypatch.setenv("SIMILARIPY_TPU_SYM_TC", "128")
+    monkeypatch.setenv("SIMILARIPY_TPU_SYM_GT", "2")
+    m = _rand(45, 650, seed=43, integral=True).T.tocsr()
+    got, ref = _both_paths(
+        sim.rp3beta, monkeypatch, m, alpha=0.7, beta=0.4, k=10, verbose=False
+    )
+    np.testing.assert_allclose(check_sum(got), check_sum(ref), rtol=1e-6)
+    # explicit matrix2 takes the historical two-matrix formulation
+    sim.clear_caches()
+    old = sim.rp3beta(m, matrix2=m.T, alpha=0.7, beta=0.4, k=10,
+                      verbose=False)
+    np.testing.assert_allclose(check_sum(got), check_sum(old), rtol=5e-4)
+
+
+def test_rp3beta_refactor_pallas(monkeypatch):
+    monkeypatch.setenv("SIMILARIPY_TPU_USE_PALLAS", "1")
+    monkeypatch.setenv("SIMILARIPY_TPU_SYM_TC", "128")
+    monkeypatch.setenv("SIMILARIPY_TPU_SYM_GT", "2")
+    m = _rand(45, 650, seed=43, integral=True).T.tocsr()
+    got, ref = _both_paths(
+        sim.rp3beta, monkeypatch, m, alpha=0.7, beta=0.4, k=10, verbose=False
+    )
+    np.testing.assert_allclose(check_sum(got), check_sum(ref), rtol=1e-6)
+
+
+def test_p3alpha_refactor_matches_two_matrix_form(monkeypatch):
+    m = _rand(50, 500, seed=47, integral=True).T.tocsr()
+    got = sim.p3alpha(m, alpha=0.8, k=9, verbose=False)
+    sim.clear_caches()
+    old = sim.p3alpha(m, matrix2=m.T, alpha=0.8, k=9, verbose=False)
+    np.testing.assert_allclose(check_sum(got), check_sum(old), rtol=5e-4)
