@@ -636,6 +636,21 @@ def execute_sharded(
     progress=None,
 ):
     """Run the mesh-sharded similarity; returns host (T, k) vals f32 / idx i32."""
+    from .symmetric import symmetric_eligible
+
+    if (
+        symmetric_eligible(pre, params, block_size_hint)
+        and pre.k > 0
+        and pre.n_output_cols > 0
+        and os.environ.get("SIMILARIPY_TPU_SYM_SHARDED", "1") != "0"
+    ):
+        from .sym_sharded import execute_symmetric_sharded
+
+        return execute_symmetric_sharded(
+            pre, params, mesh=mesh,
+            compute_dtype=compute_dtype, precision=precision,
+            budget_bytes=budget_bytes, progress=progress,
+        )
     if (
         pre.filter_matrix is None
         and pre.target_matrix is None

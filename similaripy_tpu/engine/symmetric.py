@@ -689,6 +689,69 @@ def _pack_rows_dual(crv, cri, ccv, cci, start, *, size: int, k: int):
 
 
 # ---------------------------------------------------------------------------
+# Host prep (shared with the sharded symmetric executor)
+# ---------------------------------------------------------------------------
+
+
+def prep_host_symmetric(pre: Preprocessed, compute_dtype: str, tc: int,
+                        n_tiles_dev: int, u_pad: int, mxu: bool):
+    """One permutation, one per-tile COO, both norm-vector layouts.
+
+    Returns (host: dict[str, np.ndarray], item_map). `host` carries the
+    per-tile scatter triplets (`ru`/`sl`/`vv`, or the MXU-binned
+    `ps`/`vv`/`cnt`) plus the X/Y epilogue vectors laid out per tile slot;
+    `item_map` maps device slot -> original item id (C = padding)."""
+    C = pre.n_output_cols
+    Cdev = n_tiles_dev * tc
+
+    from .executor import _stack_m2_tiles_balanced, _vec_by_map
+
+    m2_csc = csc_quantized(
+        pre.m2, pre.qscale2 if compute_dtype in ("int8", "int4") else None
+    )
+    col_nnz = np.diff(m2_csc.indptr)
+    # round-robin by nnz rank over ALL device tiles: the matmul cost is
+    # set by Cdev alone, so spreading items into the padding tiles is
+    # free and keeps every tile's scatter bucket near the mean
+    rank = np.argsort(-col_nnz, kind="stable")
+    tile_lists = [rank[t::n_tiles_dev] for t in range(n_tiles_dev)]
+    # shuffle slots WITHIN each tile (any bijection is valid): the rank
+    # round-robin otherwise clusters the most popular items at low
+    # slots, overloading slot-bin 0 of every tile ~8x in the
+    # MXU-scatter binning (measured; see BASELINE.md)
+    _rng = np.random.default_rng(0x51A7)
+    tile_lists = [lst[_rng.permutation(lst.shape[0])] for lst in tile_lists]
+    item_map = np.full(Cdev, C, dtype=np.int64)
+    for t, items in enumerate(tile_lists):
+        item_map[t * tc : t * tc + items.shape[0]] = items
+
+    t_users, t_slots, t_vals = _stack_m2_tiles_balanced(
+        m2_csc, tile_lists, tc, u_pad
+    )
+    host = {
+        "y_t": _vec_by_map(pre.Yt, item_map, C).reshape(n_tiles_dev, tc),
+        "y_c": _vec_by_map(pre.Yc, item_map, C).reshape(n_tiles_dev, tc),
+        "y_d": _vec_by_map(pre.Yd, item_map, C).reshape(n_tiles_dev, tc),
+        "x_t": _vec_by_map(pre.Xt, item_map, C).reshape(n_tiles_dev, tc),
+        "x_c": _vec_by_map(pre.Xc, item_map, C).reshape(n_tiles_dev, tc),
+        "x_d": _vec_by_map(pre.Xd, item_map, C).reshape(n_tiles_dev, tc),
+    }
+    if mxu:
+        b_ps, b_vv, b_cnt = _bin_tiles_mxu(
+            t_users, t_slots, t_vals, u_pad, tc,
+            compute_dtype in ("int8", "int4"),
+        )
+        host["ps"] = b_ps  # (nt, UB*SB*L, 1) packed u<<16|s
+        host["vv"] = b_vv
+        host["cnt"] = b_cnt  # (nt, UB*SB) live entries
+    else:
+        host["ru"] = t_users  # (n_tiles_dev, p2) user index
+        host["sl"] = t_slots  # (n_tiles_dev, p2) tile slot
+        host["vv"] = t_vals
+    return host, item_map
+
+
+# ---------------------------------------------------------------------------
 # Host orchestration
 # ---------------------------------------------------------------------------
 
@@ -709,9 +772,6 @@ def execute_symmetric(
         _cache_get,
         _cache_put,
         _fingerprint,
-        _pad_bucket,
-        _stack_m2_tiles_balanced,
-        _vec_by_map,
         build_pvec,
         resolve_compute_dtype,
     )
@@ -788,58 +848,11 @@ def execute_symmetric(
     )
     cached = _cache_get(prep_key)
     if cached is None:
-        m2_csc = csc_quantized(
-            m2, pre.qscale2 if compute_dtype in ("int8", "int4") else None
+        host, item_map = prep_host_symmetric(
+            pre, compute_dtype, tc, n_tiles_dev, u_pad, mxu
         )
-        col_nnz = np.diff(m2_csc.indptr)
-        # round-robin by nnz rank over ALL device tiles: the matmul cost is
-        # set by Cdev alone, so spreading items into the padding tiles is
-        # free and keeps every tile's scatter bucket near the mean
-        rank = np.argsort(-col_nnz, kind="stable")
-        tile_lists = [rank[t::n_tiles_dev] for t in range(n_tiles_dev)]
-        # shuffle slots WITHIN each tile (any bijection is valid): the rank
-        # round-robin otherwise clusters the most popular items at low
-        # slots, overloading slot-bin 0 of every tile ~8x in the
-        # MXU-scatter binning (measured; see BASELINE.md)
-        _rng = np.random.default_rng(0x51A7)
-        tile_lists = [
-            lst[_rng.permutation(lst.shape[0])] for lst in tile_lists
-        ]
-        item_map = np.full(Cdev, C, dtype=np.int64)
-        for t, items in enumerate(tile_lists):
-            item_map[t * tc : t * tc + items.shape[0]] = items
-
-        t_users, t_slots, t_vals = _stack_m2_tiles_balanced(
-            m2_csc, tile_lists, tc, u_pad
-        )
-        yt = _vec_by_map(pre.Yt, item_map, C).reshape(n_tiles_dev, tc)
-        yc = _vec_by_map(pre.Yc, item_map, C).reshape(n_tiles_dev, tc)
-        yd = _vec_by_map(pre.Yd, item_map, C).reshape(n_tiles_dev, tc)
-        xt = _vec_by_map(pre.Xt, item_map, C).reshape(n_tiles_dev, tc)
-        xc = _vec_by_map(pre.Xc, item_map, C).reshape(n_tiles_dev, tc)
-        xd = _vec_by_map(pre.Xd, item_map, C).reshape(n_tiles_dev, tc)
-
-        dev = {
-            "y_t": jnp.asarray(yt),
-            "y_c": jnp.asarray(yc),
-            "y_d": jnp.asarray(yd),
-            "x_t": jnp.asarray(xt),
-            "x_c": jnp.asarray(xc),
-            "x_d": jnp.asarray(xd),
-            "tid": jnp.arange(n_tiles_dev, dtype=jnp.int32),
-        }
-        if mxu:
-            b_ps, b_vv, b_cnt = _bin_tiles_mxu(
-                t_users, t_slots, t_vals, u_pad, tc,
-                compute_dtype in ("int8", "int4"),
-            )
-            dev["ps"] = jnp.asarray(b_ps)  # (nt, UB*SB*L, 1) packed u<<16|s
-            dev["vv"] = jnp.asarray(b_vv)
-            dev["cnt"] = jnp.asarray(b_cnt)  # (nt, UB*SB) live entries
-        else:
-            dev["ru"] = jnp.asarray(t_users)  # (n_tiles_dev, p2) user index
-            dev["sl"] = jnp.asarray(t_slots)  # (n_tiles_dev, p2) tile slot
-            dev["vv"] = jnp.asarray(t_vals)
+        dev = {k2: jnp.asarray(v) for k2, v in host.items()}
+        dev["tid"] = jnp.arange(n_tiles_dev, dtype=jnp.int32)
         _cache_put(prep_key, (dev, item_map))
     else:
         dev, item_map = cached
