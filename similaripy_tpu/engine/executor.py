@@ -320,15 +320,23 @@ def panel_forward(
 # matrix1 and O(nnz) for matrix2.
 
 
-@partial(jax.jit, static_argnames=("u_pad", "tc", "compute_dtype"))
-def _densify_group(rows, cols, vals, *, u_pad: int, tc: int, compute_dtype: str):
+@partial(jax.jit, static_argnames=("u_pad", "tc", "compute_dtype", "split"))
+def _densify_group(rows, cols, vals, *, u_pad: int, tc: int,
+                   compute_dtype: str, split: bool = False):
     """(G, p2) COO arrays -> (G, u_pad, tc) dense tiles (sequential map to
-    bound the bf16-scatter transient to one tile)."""
+    bound the bf16-scatter transient to one tile). With `split` each tile
+    leaves as a split_bf16x3 (2*u_pad, tc) stack for the fused kernel's
+    3-phase f32-HIGH mode (same bytes as f32)."""
     cdt, _ = compute_cast(compute_dtype)
 
     def one(args):
         r, c, v = args
-        return densify((u_pad, tc), r, c, v, cdt)
+        t = densify((u_pad, tc), r, c, v, cdt)
+        if split:
+            from .pallas_kernels import split_bf16x3
+
+            t = split_bf16x3(t, axis=0)
+        return t
 
     return jax.lax.map(one, (rows, cols, vals))
 
@@ -338,7 +346,7 @@ def _densify_group(rows, cols, vals, *, u_pad: int, tc: int, compute_dtype: str)
     static_argnames=(
         "flags", "k", "k_pad", "trp", "u_pad", "tc",
         "has_allowed", "has_filter", "has_target",
-        "compute_dtype", "precision", "use_pallas",
+        "compute_dtype", "precision", "use_pallas", "f32x3",
     ),
     donate_argnums=(9, 10),
 )
@@ -367,6 +375,7 @@ def _run_group_panels(
     compute_dtype: str,
     precision: str,
     use_pallas: bool,
+    f32x3: bool = False,
 ):
     """All panels x all group tiles in one dispatch: scan over panels,
     inner scan over the group's resident tiles."""
@@ -387,6 +396,10 @@ def _run_group_panels(
         m1_dense = densify(
             (trp, u_pad), pxs["pr"], pxs["pc"], pxs["pv"], cdt
         )
+        if f32x3:
+            from .pallas_kernels import split_bf16x3
+
+            m1_dense = split_bf16x3(m1_dense, axis=1)
         x_t, x_c, x_d = pxs["xt"], pxs["xc"], pxs["xd"]
         tiles_p = dict(group_tiles)
         for k2, v in sel_xs.items():
@@ -424,6 +437,7 @@ def _run_group_panels(
                     k_pad=k_pad,
                     int8_mode=compute_dtype in ("int8", "int4"),
                     precision=prec,
+                    split_f32=f32x3,
                     interpret=jax.default_backend() != "tpu",
                 )
                 cand_vals, cand_idx = vals_t.T, idx_t.T
@@ -829,11 +843,10 @@ def execute(
 
     # ---- fused-kernel alignment + group sizing ----
     use_pallas = _pallas_enabled()
-    if compute_dtype == "float32" and precision == "high":
-        # Mosaic implements only DEFAULT/HIGHEST, so the fused kernel would
-        # run HIGH requests at HIGHEST (~30 TFLOP/s measured). The XLA path
-        # keeps real bf16x3 (~3x faster) — worth more than the fusion.
-        use_pallas = False
+    # f32-HIGH runs the fused kernel in split-bf16x3 mode: the 3-phase K
+    # sweep reproduces XLA HIGH's bf16x3 (~f32 accuracy) at the bf16 MXU
+    # rate / 3 — ~2x Mosaic's forced-HIGHEST — while keeping the fusion
+    f32x3 = use_pallas and compute_dtype == "float32" and precision == "high"
     k_pad = k
     # smaller panels leave more HBM for resident tile groups (each extra
     # group costs a full matrix1 re-scatter), so cap the panel height
@@ -854,6 +867,7 @@ def execute(
             # reference's heap is k-agnostic, s_plus.h:39-64); this is a
             # documented performance cutover, not a capability cliff.
             use_pallas = False
+            f32x3 = False
             k_pad = k
 
     # group size: how many dense (u_pad x tc) tiles fit in HBM next to the
@@ -1061,6 +1075,7 @@ def execute(
             u_pad=u_pad,
             tc=tc,
             compute_dtype=compute_dtype,
+            split=f32x3,
         )
         if timing:
             _lap(f"group {g} densify", d_stack)
@@ -1095,6 +1110,7 @@ def execute(
             compute_dtype=compute_dtype,
             precision=precision,
             use_pallas=use_pallas,
+            f32x3=f32x3,
         )
         # barrier before the next group: dispatch is async, and without it
         # the next group's dense tile stack stays live while later work

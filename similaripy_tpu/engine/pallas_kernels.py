@@ -52,6 +52,35 @@ KB = int(os.environ.get("SIMILARIPY_TPU_KB", 768))
 DEFAULT_TC = int(os.environ.get("SIMILARIPY_TPU_TC", 4096))  # column-tile width
 
 
+def split_bf16x3(x, axis: int):
+    """f32 -> [hi; lo] bf16 stacked along the contraction axis.
+
+    Feeding the stacked halves through a 3-phase K sweep (hi@hi + lo@hi +
+    hi@lo, the lo@lo term dropped) reproduces XLA's HIGH precision
+    (bf16x3, ~f32 accuracy) at the bf16 MXU rate / 3 — measured ~1.9x
+    faster than Mosaic's HIGHEST on v5e (170/3 vs 30 TFLOP/s) — while
+    keeping the fused epilogue + top-K. Same bytes as the f32 original."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([hi, lo], axis=axis)
+
+
+def _split_maps(n_k: int):
+    """(a_sel, d_sel) K-block index maps for the 3-phase bf16x3 sweep.
+
+    Grid runs kk in [0, 3*n_k): phase 0 = hi@hi, 1 = lo@hi, 2 = hi@lo.
+    The lhs reads its lo half (blocks n_k..2*n_k) in phase 1, the rhs in
+    phase 2; the accumulator/epilogue logic is untouched because only
+    num_programs changes."""
+    def a_sel(kk):
+        return kk % n_k + (kk // n_k % 2) * n_k
+
+    def d_sel(kk):
+        return kk % n_k + (kk // n_k // 2) * n_k
+
+    return a_sel, d_sel
+
+
 def _epilogue_val(
     xy_acc,
     pvec_ref,
@@ -408,25 +437,39 @@ def fused_tile_topk(
     k_pad: int,
     int8_mode: bool,
     precision,
+    split_f32: bool = False,
     interpret: bool = False,
 ):
     """Returns (vals, idx) of shape (k_pad, trp): per-row top-k_pad of the
-    fused similarity tile, sorted descending, ids global via col_base."""
+    fused similarity tile, sorted descending, ids global via col_base.
+
+    With `split_f32` the operands arrive as split_bf16x3 stacks (K axis
+    doubled) and the K sweep runs 3 phases — XLA-HIGH accuracy at ~2x the
+    Mosaic-HIGHEST rate."""
     trp, u_pad = m1_dense.shape
+    if split_f32:
+        u_pad //= 2
     tc = d.shape[1]
     assert trp % TM == 0 and u_pad % KB == 0, (trp, u_pad)
 
     if precision == jax.lax.Precision.HIGH:
         # Mosaic implements only DEFAULT and HIGHEST; precision is a
-        # minimum guarantee, so run HIGH requests at HIGHEST
+        # minimum guarantee, so run HIGH requests at HIGHEST (the executors
+        # route f32-HIGH here with split_f32 instead, where precision is
+        # moot on the bf16 operands)
         precision = jax.lax.Precision.HIGHEST
 
-    grid = (trp // TM, u_pad // KB)
+    n_k = u_pad // KB
+    grid = (trp // TM, 3 * n_k if split_f32 else n_k)
     acc_dtype = jnp.int32 if int8_mode else jnp.float32
 
+    if split_f32:
+        a_sel, d_sel = _split_maps(n_k)
+    else:
+        a_sel = d_sel = lambda kk: kk
     in_specs = [
-        pl.BlockSpec((TM, KB), lambda m, kk: (m, kk)),
-        pl.BlockSpec((KB, tc), lambda m, kk: (kk, 0)),
+        pl.BlockSpec((TM, KB), lambda m, kk: (m, a_sel(kk))),
+        pl.BlockSpec((KB, tc), lambda m, kk: (d_sel(kk), 0)),
     ]
     vec_spec_row = pl.BlockSpec((TM, 1), lambda m, kk: (m, 0))
     vec_spec_col = pl.BlockSpec((1, tc), lambda m, kk: (0, 0))
@@ -796,6 +839,7 @@ def fused_sym_topk(
     precision,
     x2=None,  # asym epilogue: (xt, xc, xd) X-vectors at the TILE's items (tc,)
     y2=None,  # asym epilogue: (yt, yc, yd) Y-vectors at the ANCHOR's items (sw,)
+    split_f32: bool = False,  # operands are split_bf16x3 stacks (u axis x2)
     interpret: bool = False,
 ):
     """Dual-sided fused similarity top-K + carry merge for the symmetric
@@ -816,6 +860,8 @@ def fused_sym_topk(
         sw = gt_a * tc
     else:
         sw, u_pad = a.shape
+    if split_f32:
+        u_pad //= 2
     k_pad_r, k_pad_c = sym_k_pads(k, tc, sw)
     # blocks must not straddle an anchor row-tile boundary (rt constancy):
     # tc is always a multiple of 128, so fall back to 128-row blocks when
@@ -829,15 +875,20 @@ def fused_sym_topk(
     if precision == jax.lax.Precision.HIGH:
         precision = jax.lax.Precision.HIGHEST
 
-    grid = (sw // tm, u_pad // KB)
+    n_k = u_pad // KB
+    grid = (sw // tm, 3 * n_k if split_f32 else n_k)
     acc_dtype = jnp.int32 if int8_mode else jnp.float32
 
+    if split_f32:
+        a_sel, d_sel = _split_maps(n_k)
+    else:
+        a_sel = d_sel = lambda kk: kk
     mpt = tc // tm  # row blocks per anchor tile
     in_specs = [
-        pl.BlockSpec((1, KB, tm), lambda m, kk: (m // mpt, kk, m % mpt))
+        pl.BlockSpec((1, KB, tm), lambda m, kk: (m // mpt, a_sel(kk), m % mpt))
         if a_3d
-        else pl.BlockSpec((tm, KB), lambda m, kk: (m, kk)),
-        pl.BlockSpec((KB, tc), lambda m, kk: (kk, 0)),
+        else pl.BlockSpec((tm, KB), lambda m, kk: (m, a_sel(kk))),
+        pl.BlockSpec((KB, tc), lambda m, kk: (d_sel(kk), 0)),
     ]
     in_specs += [pl.BlockSpec((tm, 1), lambda m, kk: (m, 0))] * 3
     in_specs += [pl.BlockSpec((1, tc), lambda m, kk: (0, 0))] * 3

@@ -229,7 +229,7 @@ def _run_sharded_panel(
     jax.jit,
     static_argnames=(
         "mesh", "flags", "k", "k_pad", "trp", "u_pad", "tc",
-        "has_allowed", "compute_dtype", "precision", "use_pallas",
+        "has_allowed", "compute_dtype", "precision", "use_pallas", "f32x3",
     ),
     donate_argnums=(9, 10),
 )
@@ -257,6 +257,7 @@ def _run_sharded_group(
     compute_dtype: str,
     precision: str,
     use_pallas: bool,
+    f32x3: bool = False,
 ):
     """One panel batch x one resident tile group, all shards at once."""
     cdt, acc = compute_cast(compute_dtype)
@@ -274,6 +275,10 @@ def _run_sharded_group(
         cv, ci = carry_vals[0, 0], carry_idx[0, 0]
 
         m1_dense = densify((trp, u_pad), m1_rows, m1_cols, m1_vals, cdt)
+        if f32x3:
+            from .pallas_kernels import split_bf16x3
+
+            m1_dense = split_bf16x3(m1_dense, axis=1)
 
         def tile_step(carry, xs):
             topk_vals, topk_idx = carry
@@ -296,6 +301,7 @@ def _run_sharded_group(
                     flags=flags, k_pad=k_pad,
                     int8_mode=compute_dtype in ("int8", "int4"),
                     precision=prec,
+                    split_f32=f32x3,
                     interpret=jax.default_backend() != "tpu",
                 )
                 cand_vals, cand_idx = vals_t.T, idx_t.T
@@ -407,12 +413,15 @@ def _execute_sharded_grouped(
 
     compute_dtype, inv_scale = resolve_compute_dtype(compute_dtype, pre)
     use_pallas = _pallas_enabled()
+    # f32-HIGH rides the fused kernel in split-bf16x3 mode (see executor.py)
+    f32x3 = use_pallas and compute_dtype == "float32" and precision == "high"
     u_pad = max(_round_up(U, KB), KB)
     tc = DEFAULT_TC if compute_dtype != "float32" else DEFAULT_TC // 2
     tc = min(tc, _round_up(C, 128))
     k_pad = _round_up(min(k, tc), 8)
     if k_pad > 1024:
         use_pallas = False  # same documented cutover as the executor
+        f32x3 = False
 
     # tiles: balanced columns, grouped so every shard holds G tiles per
     # group resident; group axis leads so slicing keeps the 'cols' shard
@@ -583,7 +592,7 @@ def _execute_sharded_grouped(
             tiles_dev["m2_rows"][g],
             tiles_dev["m2_cols"][g],
             tiles_dev["m2_vals"][g],
-            u_pad=u_pad, tc=tc, compute_dtype=compute_dtype,
+            u_pad=u_pad, tc=tc, compute_dtype=compute_dtype, split=f32x3,
         )
         tiles_g = {
             k2: v[g]
@@ -598,7 +607,7 @@ def _execute_sharded_grouped(
                 k=k, k_pad=k_pad, trp=trp, u_pad=u_pad, tc=tc,
                 has_allowed=has_allowed,
                 compute_dtype=compute_dtype, precision=precision,
-                use_pallas=use_pallas,
+                use_pallas=use_pallas, f32x3=f32x3,
             )
         if n_groups > 1:
             # barrier: don't queue the next group's densify behind all of

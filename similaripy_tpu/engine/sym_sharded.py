@@ -79,6 +79,7 @@ def _flat_index(mesh: Mesh, axes: tuple):
     static_argnames=(
         "mesh", "axes", "flags", "k", "gt", "tc", "u_pad", "cs",
         "n_anchors", "compute_dtype", "precision", "use_pallas", "asym",
+        "f32x3",
     ),
     donate_argnums=(2,),
 )
@@ -105,6 +106,7 @@ def _sweep_chunk_sharded(
     precision: str,
     use_pallas: bool,
     asym: bool,
+    f32x3: bool = False,
 ):
     """One sweep dispatch: N devices x cs inner tiles x n_anchors blocks.
 
@@ -144,6 +146,10 @@ def _sweep_chunk_sharded(
             d = densify(
                 (u_pad, tc), at("ru", t), at("sl", t), at("vv", t), cdt
             )
+            if f32x3:
+                from .pallas_kernels import split_bf16x3
+
+                d = split_bf16x3(d, axis=0)
             y_t, y_c, y_d = at("y_t", t), at("y_c", t), at("y_d", t)
             base_t = t * tc
             if not use_pallas:
@@ -191,7 +197,7 @@ def _sweep_chunk_sharded(
                             if asym else None
                         ),
                         y2=(a["y2t"], a["y2c"], a["y2d"]) if asym else None,
-                        interpret=interpret,
+                        split_f32=f32x3, interpret=interpret,
                     )
                     crv = jax.lax.dynamic_update_slice(crv, rvals, (0, base_a))
                     cri = jax.lax.dynamic_update_slice(cri, ridx, (0, base_a))
@@ -349,8 +355,8 @@ def execute_symmetric_sharded(
     budget = budget_bytes if budget_bytes is not None else hbm_budget_bytes()
 
     use_pallas = _pallas_enabled()
-    if compute_dtype == "float32" and precision == "high":
-        use_pallas = False
+    # f32-HIGH rides the fused kernel in split-bf16x3 mode (see symmetric.py)
+    f32x3 = use_pallas and compute_dtype == "float32" and precision == "high"
     tc, gt, u_pad, dual = _plan(C, U, m2.nnz, compute_dtype, budget,
                                 use_pallas)
     if use_pallas:
@@ -362,6 +368,7 @@ def execute_symmetric_sharded(
         )
         if k_pad > 1024:
             use_pallas = False  # same documented cutover as symmetric.py
+            f32x3 = False
             tc, gt, u_pad, dual = _plan(C, U, m2.nnz, compute_dtype, budget,
                                         False)
         else:
@@ -467,7 +474,7 @@ def execute_symmetric_sharded(
         if use_pallas:
             lhs = densify_fn(
                 dev["ru"][t0:t1], dev["sl"][t0:t1], dev["vv"][t0:t1],
-                tc=tc, u_pad=u_pad, compute_dtype=compute_dtype,
+                tc=tc, u_pad=u_pad, compute_dtype=compute_dtype, split=f32x3,
             )
         else:
             lhs = densify_fn(
@@ -494,7 +501,7 @@ def execute_symmetric_sharded(
                 mesh=mesh, axes=axes, flags=flags, k=k, gt=gt, tc=tc,
                 u_pad=u_pad, cs=cs, n_anchors=len(anchors),
                 compute_dtype=compute_dtype, precision=precision,
-                use_pallas=use_pallas, asym=asym,
+                use_pallas=use_pallas, asym=asym, f32x3=f32x3,
             )
 
     pair_list = [

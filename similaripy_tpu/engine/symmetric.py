@@ -303,42 +303,49 @@ def _densify_lhs_into(arena, slots, users, vals, *, tc: int, u_pad: int,
     return jax.lax.map(one, (slots, users, vals))
 
 
-@partial(jax.jit, static_argnames=("tc", "u_pad", "compute_dtype"))
+@partial(jax.jit, static_argnames=("tc", "u_pad", "compute_dtype", "split"))
 def _densify_rhs_stack(users, slots, vals, *, tc: int, u_pad: int,
-                       compute_dtype: str):
+                       compute_dtype: str, split: bool = False):
     """Anchor group as a (gt, u_pad, tc) stack of rhs-oriented tiles.
 
     Same orientation as the sweep's inner tiles (the kernel contracts the
     shared user axis via dot_general), so chunks whose inner tiles ARE an
     anchor's tiles slice the resident stack instead of re-scattering —
-    that retires one full scatter of every tile per pair schedule."""
+    that retires one full scatter of every tile per pair schedule. With
+    `split` each tile leaves as a split_bf16x3 (2*u_pad, tc) stack for the
+    kernel's 3-phase f32-HIGH mode."""
     from .executor import compute_cast, densify
+    from .pallas_kernels import split_bf16x3
 
     cdt, _ = compute_cast(compute_dtype)
 
     def one(args):
         u, s, v = args
-        return densify((u_pad, tc), u, s, v, cdt)
+        t = densify((u_pad, tc), u, s, v, cdt)
+        return split_bf16x3(t, axis=0) if split else t
 
     return jax.lax.map(one, (users, slots, vals))
 
 
 @partial(
     jax.jit,
-    static_argnames=("tc", "u_pad", "compute_dtype"),
+    static_argnames=("tc", "u_pad", "compute_dtype", "split"),
     donate_argnums=(0,),
 )
 def _densify_rhs_stack_into(arena, users, slots, vals, *, tc: int,
-                            u_pad: int, compute_dtype: str):
+                            u_pad: int, compute_dtype: str,
+                            split: bool = False):
     """_densify_rhs_stack over a retired anchor's donated buffer."""
     del arena
     from .executor import compute_cast, densify
+    from .pallas_kernels import split_bf16x3
 
     cdt, _ = compute_cast(compute_dtype)
 
     def one(args):
         u, s, v = args
-        return densify((u_pad, tc), u, s, v, cdt)
+        t = densify((u_pad, tc), u, s, v, cdt)
+        return split_bf16x3(t, axis=0) if split else t
 
     return jax.lax.map(one, (users, slots, vals))
 
@@ -480,7 +487,7 @@ def _bin_tiles_mxu(t_users, t_slots, t_vals, u_pad: int, tc: int,
     static_argnames=(
         "flags", "k", "gt", "tc", "u_pad", "cs", "n_anchors",
         "compute_dtype", "precision", "use_pallas", "mxu",
-        "anchor_inner", "prefill", "asym",
+        "anchor_inner", "prefill", "asym", "f32x3",
     ),
     donate_argnums=(2, 3),
 )
@@ -506,6 +513,7 @@ def _sweep_chunk(
     anchor_inner: int = -1,
     prefill: bool = False,
     asym: bool = False,
+    f32x3: bool = False,
 ):
     """cs inner tiles x n_anchors resident row blocks, one dispatch.
 
@@ -557,6 +565,10 @@ def _sweep_chunk(
             )
         else:
             d = densify((u_pad, tc), xs["ru"], xs["sl"], xs["vv"], cdt)
+            if f32x3:
+                from .pallas_kernels import split_bf16x3
+
+                d = split_bf16x3(d, axis=0)
         if prefill:
             # this chunk's tiles are the NEXT pair's anchors: keep the
             # freshly scattered rhs tile resident, retiring its re-scatter
@@ -605,7 +617,7 @@ def _sweep_chunk(
                     int8_mode=int_mode, precision=prec,
                     x2=(xs["x_t"], xs["x_c"], xs["x_d"]) if asym else None,
                     y2=(a["y2t"], a["y2c"], a["y2d"]) if asym else None,
-                    interpret=interpret,
+                    split_f32=f32x3, interpret=interpret,
                 )
                 crv = jax.lax.dynamic_update_slice(crv, rvals, (0, base_a))
                 cri = jax.lax.dynamic_update_slice(cri, ridx, (0, base_a))
@@ -785,15 +797,16 @@ def execute_symmetric(
     compute_dtype, inv_scale = resolve_compute_dtype(compute_dtype, pre)
     budget = budget_bytes if budget_bytes is not None else hbm_budget_bytes()
 
-    # fused dual-sided kernel (pallas_kernels.fused_sym_topk): same gating
-    # as the general executor — HIGH-precision f32 stays on XLA (real
-    # bf16x3 beats Mosaic's forced HIGHEST), very large k falls back to
-    # the sort-based top_k (one extraction pass per kept value otherwise)
+    # fused dual-sided kernel (pallas_kernels.fused_sym_topk): f32-HIGH
+    # runs it in split-bf16x3 mode (XLA-HIGH accuracy at ~2x Mosaic's
+    # HIGHEST, fusion kept); very large k falls back to the sort-based
+    # top_k (one extraction pass per kept value otherwise)
     from .executor import _pallas_enabled
 
     use_pallas = _pallas_enabled()
-    if compute_dtype == "float32" and precision == "high":
-        use_pallas = False
+    f32x3 = (
+        use_pallas and compute_dtype == "float32" and precision == "high"
+    )
     tc, gt, u_pad, dual = _plan(C, U, m2.nnz, compute_dtype, budget,
                                 use_pallas)
     k_pad = k
@@ -921,12 +934,12 @@ def execute_symmetric(
         elif use_pallas and reuse is not None:
             lhs = _densify_rhs_stack_into(
                 reuse, dev["ru"][t0:t1], dev["sl"][t0:t1], dev["vv"][t0:t1],
-                tc=tc, u_pad=u_pad, compute_dtype=compute_dtype,
+                tc=tc, u_pad=u_pad, compute_dtype=compute_dtype, split=f32x3,
             )
         elif use_pallas:
             lhs = _densify_rhs_stack(
                 dev["ru"][t0:t1], dev["sl"][t0:t1], dev["vv"][t0:t1],
-                tc=tc, u_pad=u_pad, compute_dtype=compute_dtype,
+                tc=tc, u_pad=u_pad, compute_dtype=compute_dtype, split=f32x3,
             )
         elif reuse is not None:
             lhs = _densify_lhs_into(
@@ -978,6 +991,7 @@ def execute_symmetric(
     )
     prefill_ok = (
         use_pallas
+        and not f32x3  # arenas hold un-split tiles; keep the modes apart
         and os.environ.get("SIMILARIPY_TPU_SYM_PREFILL", "0") in ("1", "true")
         and 4 * gt * tc * u_pad * isz + _lean <= _cap
     )
@@ -998,7 +1012,7 @@ def execute_symmetric(
                 cs=gt, n_anchors=len(anchors),
                 compute_dtype=compute_dtype, precision=precision,
                 use_pallas=use_pallas, mxu=mxu, anchor_inner=ai,
-                prefill=pf, asym=asym,
+                prefill=pf, asym=asym, f32x3=f32x3,
             )
             if pf:
                 filled[g] = arena

@@ -195,3 +195,53 @@ def test_mxu_scatter_bf16():
     np.testing.assert_array_equal(
         np.asarray(got).astype(np.float32), np.asarray(ref).astype(np.float32)
     )
+
+
+# ---------------------------------------------------------------------------
+# split-bf16x3 f32-HIGH mode: the fused kernel's 3-phase K sweep must
+# reproduce XLA HIGH (bf16x3) accuracy on every executor family
+# ---------------------------------------------------------------------------
+
+
+def _cs_pair_f32_high(call, monkeypatch, *args, **kwargs):
+    got = call(*args, compute_dtype="float32", precision="high",
+               verbose=False, **kwargs)
+    sim.clear_caches()
+    monkeypatch.setenv("SIMILARIPY_TPU_USE_PALLAS", "0")
+    ref = call(*args, compute_dtype="float32", precision="high",
+               verbose=False, **kwargs)
+    monkeypatch.setenv("SIMILARIPY_TPU_USE_PALLAS", "1")
+    sim.clear_caches()
+    return check_sum(got), check_sum(ref)
+
+
+def test_f32x3_symmetric_path(matrix, monkeypatch):
+    monkeypatch.setenv("SIMILARIPY_TPU_SYM_TC", "128")
+    monkeypatch.setenv("SIMILARIPY_TPU_SYM_GT", "2")
+    a, b = _cs_pair_f32_high(sim.cosine, monkeypatch, matrix, k=15)
+    np.testing.assert_allclose(a, b, rtol=1e-5)
+
+
+def test_f32x3_symmetric_asym_epilogue(matrix, monkeypatch):
+    monkeypatch.setenv("SIMILARIPY_TPU_SYM_TC", "128")
+    monkeypatch.setenv("SIMILARIPY_TPU_SYM_GT", "1")
+    a, b = _cs_pair_f32_high(
+        sim.tversky, monkeypatch, matrix, alpha=0.2, beta=0.9, k=11
+    )
+    np.testing.assert_allclose(a, b, rtol=1e-5)
+
+
+def test_f32x3_general_path(matrix, monkeypatch):
+    a, b = _cs_pair_f32_high(
+        sim.cosine, monkeypatch, matrix, matrix.T.tocsr(), k=15
+    )
+    np.testing.assert_allclose(a, b, rtol=1e-5)
+
+
+def test_f32x3_vs_full_f32_oracle(matrix, monkeypatch):
+    """bf16x3 accuracy holds up against the exact f32 NumPy oracle."""
+    monkeypatch.setenv("SIMILARIPY_TPU_SYM_TC", "128")
+    got = sim.cosine(matrix, k=20, compute_dtype="float32",
+                     precision="high", verbose=False)
+    ref = py_cosine(matrix, 20).tocsr()
+    np.testing.assert_allclose(check_sum(got), check_sum(ref), rtol=1e-4)

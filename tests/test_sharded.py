@@ -149,3 +149,17 @@ def test_sharded_grouped_matches_legacy(monkeypatch):
     monkeypatch.setenv("SIMILARIPY_TPU_SHARDED_GROUPED", "0")
     b = sim.cosine(m, k=12, verbose=VERBOSE, mesh=mesh)
     np.testing.assert_allclose(check_sum(a), check_sum(b), rtol=1e-6)
+
+
+def test_sharded_grouped_f32x3(matrix, monkeypatch):
+    """f32-HIGH through the grouped sharded path's split-bf16x3 kernel."""
+    monkeypatch.setenv("SIMILARIPY_TPU_USE_PALLAS", "1")
+    mesh = make_mesh(rows=2, cols=4)
+    got = sim.cosine(matrix, matrix.T.tocsr(), k=20, verbose=VERBOSE,
+                     mesh=mesh, compute_dtype="float32", precision="high")
+    ref = sim.cosine(matrix, matrix.T.tocsr(), k=20, verbose=VERBOSE,
+                     compute_dtype="float32", precision="high")
+    np.testing.assert_allclose(
+        check_sum(got), check_sum(ref), rtol=1e-5,
+        err_msg="sharded grouped f32x3",
+    )

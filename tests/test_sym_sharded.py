@@ -157,3 +157,15 @@ def test_no_duplicate_neighbors_across_devices(monkeypatch):
     for r in range(got.shape[0]):
         cols = got.indices[got.indptr[r] : got.indptr[r + 1]]
         assert len(set(cols.tolist())) == cols.shape[0], f"row {r} has dupes"
+
+
+def test_f32x3_pallas_mesh(monkeypatch):
+    """split-bf16x3 fused kernel inside shard_map (f32 + precision=high)."""
+    monkeypatch.setenv("SIMILARIPY_TPU_USE_PALLAS", "1")
+    monkeypatch.setenv("SIMILARIPY_TPU_SYM_TC", "128")
+    monkeypatch.setenv("SIMILARIPY_TPU_SYM_GT", "2")
+    mesh = make_mesh(rows=2, cols=4)
+    m = _rand(45, 500, seed=19, integral=False).T.tocsr()
+    got, ref = _both(sim.cosine, mesh, m, k=8, compute_dtype="float32",
+                     precision="high", verbose=False)
+    np.testing.assert_allclose(check_sum(got), check_sum(ref), rtol=1e-5)
