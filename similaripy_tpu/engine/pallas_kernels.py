@@ -809,10 +809,16 @@ def _sym_kernel(
 def sym_k_pads(k: int, tc: int, sw: int) -> tuple[int, int]:
     """(row-side, col-side) carry depths of the symmetric kernel.
 
-    The two depths differ because each side sees a different candidate
-    pool: a tile has tc columns, an anchor stack sw rows — both padded to
-    min(k, pool) rounded to the 8-sublane granularity."""
-    return -(-min(k, tc) // 8) * 8, -(-min(k, sw) // 8) * 8
+    Both depths must be >= k: each plane accumulates candidates across the
+    WHOLE sweep schedule (row side: every tile to the anchor's right; col
+    side: every anchor pair to the tile's left), so a single block's pool
+    size (tc columns / sw rows) is NOT a valid cap — min(k, tc) underfilled
+    rows whenever k exceeded one tile's width (candidates ranked past the
+    plane depth were silently dropped; regression-tested in
+    test_symmetric.py::test_pallas_k_exceeds_tile_width). The executors'
+    k_pad cutover bounds the depth before it reaches here."""
+    k_pad = -(-k // 8) * 8
+    return k_pad, k_pad
 
 
 def fused_sym_topk(

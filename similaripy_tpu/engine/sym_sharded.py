@@ -362,17 +362,18 @@ def execute_symmetric_sharded(
     if use_pallas:
         from .pallas_kernels import KB
 
-        k_pad = max(
-            _round_up(min(k, tc), 8),
-            _round_up(min(k, gt * tc), 8),
-        )
-        if k_pad > 1024:
+        # both carry planes must be k deep (they accumulate across the
+        # whole sweep schedule — see pallas_kernels.sym_k_pads)
+        k_pad = _round_up(min(k, C), 8)
+        if k_pad > 1024 or k_pad * tc > (1 << 20):
             use_pallas = False  # same documented cutover as symmetric.py
             f32x3 = False
             tc, gt, u_pad, dual = _plan(C, U, m2.nnz, compute_dtype, budget,
                                         False)
         else:
             u_pad = _round_up(u_pad, KB)
+    # kernel-side k: no row has more than C candidates (see symmetric.py)
+    k_kern = min(k, C) if use_pallas else k
 
     cs = max(1, int(os.environ.get("SIMILARIPY_TPU_SYM_SHARD_CS", "1")))
     n_tiles = math.ceil(C / tc)
@@ -424,7 +425,7 @@ def execute_symmetric_sharded(
     if use_pallas:
         from .pallas_kernels import sym_k_pads
 
-        k_pad_r, k_pad_c = sym_k_pads(k, tc, sw)
+        k_pad_r, k_pad_c = sym_k_pads(k_kern, tc, sw)
         carry = (
             jax.device_put(
                 np.full((N, k_pad_r, Cext), NEG_INF, np.float32),
@@ -498,7 +499,7 @@ def execute_symmetric_sharded(
             carry = _sweep_chunk_sharded(
                 tuple(anchors), dev, carry,
                 jnp.int32(s), jnp.int32(c1), jnp.int32(n_tiles_dev), pvec,
-                mesh=mesh, axes=axes, flags=flags, k=k, gt=gt, tc=tc,
+                mesh=mesh, axes=axes, flags=flags, k=k_kern, gt=gt, tc=tc,
                 u_pad=u_pad, cs=cs, n_anchors=len(anchors),
                 compute_dtype=compute_dtype, precision=precision,
                 use_pallas=use_pallas, asym=asym, f32x3=f32x3,
@@ -521,7 +522,9 @@ def execute_symmetric_sharded(
         size = len(pair) * sw
         packed = _pack_rows_sharded(
             carry, jnp.int32(a0 * tc),
-            mesh=mesh, axes=axes, size=size, k=k, use_pallas=use_pallas,
+            mesh=mesh, axes=axes, size=size,
+            k=min(k, k_pad_r + k_pad_c) if use_pallas else k,
+            use_pallas=use_pallas,
         )
         try:
             packed.copy_to_host_async()
@@ -540,16 +543,17 @@ def execute_symmetric_sharded(
                 progress.update(done - done_rows)
                 done_rows = done
 
-    out_vals = np.empty((C, k), np.float32)
-    out_idx = np.empty((C, k), np.int32)
+    k_out = min(k, k_pad_r + k_pad_c) if use_pallas else k
+    out_vals = np.full((C, k), NEG_INF, np.float32)
+    out_idx = np.zeros((C, k), np.int32)
     for start, size, packed in snapshots:
-        arr = np.asarray(packed)  # (size, k, 2) int32
+        arr = np.asarray(packed)  # (size, k_out, 2) int32
         vals = arr.view(np.float32)[..., 0]
         idx = arr[..., 1]
         seg = item_map[start : start + size]
         real = seg < C
-        out_vals[seg[real]] = vals[real]
-        out_idx[seg[real]] = idx[real]
+        out_vals[seg[real], :k_out] = vals[real]
+        out_idx[seg[real], :k_out] = idx[real]
     if timing:
         _lap("output readback")
     if progress is not None and done_rows < C:

@@ -813,11 +813,12 @@ def execute_symmetric(
     if use_pallas:
         from .pallas_kernels import KB
 
-        k_pad = max(
-            _round_up(min(k, tc), 8),  # row-side depth
-            _round_up(min(k, gt * tc), 8),  # col-side depth
-        )
-        if k_pad > 1024:
+        # both carry planes must be k deep (they accumulate across the
+        # whole sweep schedule — see pallas_kernels.sym_k_pads)
+        k_pad = _round_up(min(k, C), 8)
+        # cutover: extraction/merge cost scales with k_pad, and the
+        # col-side carry block costs k_pad*tc*8 B of VMEM io per product
+        if k_pad > 1024 or k_pad * tc > (1 << 20):
             # one extraction pass per kept value: beyond ~1024 the XLA
             # sort-based top_k wins (same cutover as the general executor);
             # re-plan with the XLA path's score-block working set reserved
@@ -827,6 +828,10 @@ def execute_symmetric(
                                         False)
         else:
             u_pad = _round_up(u_pad, KB)
+    # kernel-side k: no row has more than C candidates, so deeper planes
+    # would only pad; the pack emits min(k, both planes) columns and the
+    # host pads the (C, k) output with the XLA path's NEG_INF sentinel
+    k_kern = min(k, C) if use_pallas else k
 
     # MXU-scatter mode (opt-in experiment): tiles densify via one-hot
     # matmuls over (512 user x 512 slot) bins. Exact for the int modes and
@@ -877,7 +882,7 @@ def execute_symmetric(
     if use_pallas:
         from .pallas_kernels import sym_k_pads
 
-        k_pad_r, k_pad_c = sym_k_pads(k, tc, sw)
+        k_pad_r, k_pad_c = sym_k_pads(k_kern, tc, sw)
         carry = (
             jnp.full((k_pad_r, Cdev), NEG_INF, jnp.float32),
             jnp.zeros((k_pad_r, Cdev), jnp.int32),
@@ -1008,7 +1013,7 @@ def execute_symmetric(
             chunk = {name: dev[name][s : s + gt] for name in chunk_names}
             carry, arena = _sweep_chunk(
                 tuple(anchors), chunk, carry, arena, pvec,
-                flags=flags, k=k, gt=gt, tc=tc, u_pad=u_pad,
+                flags=flags, k=k_kern, gt=gt, tc=tc, u_pad=u_pad,
                 cs=gt, n_anchors=len(anchors),
                 compute_dtype=compute_dtype, precision=precision,
                 use_pallas=use_pallas, mxu=mxu, anchor_inner=ai,
@@ -1085,7 +1090,8 @@ def execute_symmetric(
         size = len(pair) * sw
         if use_pallas:
             packed = _pack_rows_dual(
-                *carry, jnp.int32(a0 * tc), size=size, k=k
+                *carry, jnp.int32(a0 * tc), size=size,
+                k=min(k, k_pad_r + k_pad_c),
             )
         else:
             packed = _pack_rows(*carry, jnp.int32(a0 * tc), size=size)
@@ -1111,16 +1117,17 @@ def execute_symmetric(
                 done_rows = done
 
     # collect (transfers already in flight), map back to original item ids
-    out_vals = np.empty((C, k), np.float32)
-    out_idx = np.empty((C, k), np.int32)
+    k_out = min(k, k_pad_r + k_pad_c) if use_pallas else k
+    out_vals = np.full((C, k), NEG_INF, np.float32)
+    out_idx = np.zeros((C, k), np.int32)
     for start, size, packed in snapshots:
-        arr = np.asarray(packed)  # (size, k, 2) int32, contiguous
+        arr = np.asarray(packed)  # (size, k_out, 2) int32, contiguous
         vals = arr.view(np.float32)[..., 0]
         idx = arr[..., 1]
         seg = item_map[start : start + size]
         real = seg < C
-        out_vals[seg[real]] = vals[real]
-        out_idx[seg[real]] = idx[real]
+        out_vals[seg[real], :k_out] = vals[real]
+        out_idx[seg[real], :k_out] = idx[real]
     if timing:
         _lap("output readback")
     if progress is not None and done_rows < C:

@@ -169,3 +169,15 @@ def test_f32x3_pallas_mesh(monkeypatch):
     got, ref = _both(sim.cosine, mesh, m, k=8, compute_dtype="float32",
                      precision="high", verbose=False)
     np.testing.assert_allclose(check_sum(got), check_sum(ref), rtol=1e-5)
+
+
+def test_pallas_k_exceeds_tile_width_mesh(monkeypatch):
+    """k > tc through the sharded fused path (carry-depth regression)."""
+    monkeypatch.setenv("SIMILARIPY_TPU_USE_PALLAS", "1")
+    monkeypatch.setenv("SIMILARIPY_TPU_SYM_TC", "128")
+    monkeypatch.setenv("SIMILARIPY_TPU_SYM_GT", "2")
+    mesh = make_mesh(rows=2, cols=4)
+    m = _rand(60, 600, density=0.4, seed=3).T.tocsr()
+    got, ref = _both(sim.dot_product, mesh, m, k=200, verbose=False)
+    assert got.nnz == ref.nnz, (got.nnz, ref.nnz)
+    np.testing.assert_allclose(check_sum(got), check_sum(ref), rtol=1e-6)

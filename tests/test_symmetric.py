@@ -360,3 +360,28 @@ def test_p3alpha_refactor_matches_two_matrix_form(monkeypatch):
     sim.clear_caches()
     old = sim.p3alpha(m, matrix2=m.T, alpha=0.8, k=9, verbose=False)
     np.testing.assert_allclose(check_sum(got), check_sum(old), rtol=5e-4)
+
+
+def test_pallas_k_exceeds_tile_width(monkeypatch):
+    """k > tc: the carry planes accumulate candidates across the whole
+    sweep, so their depth must be k — min(k, tc) silently dropped
+    candidates ranked past one tile's width (regression)."""
+    monkeypatch.setenv("SIMILARIPY_TPU_USE_PALLAS", "1")
+    monkeypatch.setenv("SIMILARIPY_TPU_SYM_TC", "128")
+    monkeypatch.setenv("SIMILARIPY_TPU_SYM_GT", "2")
+    m = _rand(60, 600, density=0.4, seed=3).T.tocsr()
+    got, ref = _both_paths(sim.dot_product, monkeypatch, m, k=200,
+                           verbose=False)
+    assert got.nnz == ref.nnz, (got.nnz, ref.nnz)
+    np.testing.assert_allclose(check_sum(got), check_sum(ref), rtol=1e-6)
+
+
+def test_pallas_k_exceeds_catalog(monkeypatch):
+    """k > C with the fused path on: planes clamp to C, output pads to k."""
+    monkeypatch.setenv("SIMILARIPY_TPU_USE_PALLAS", "1")
+    monkeypatch.setenv("SIMILARIPY_TPU_SYM_TC", "128")
+    m = _rand(30, 280, density=0.4, seed=23).T.tocsr()
+    got, ref = _both_paths(sim.dot_product, monkeypatch, m, k=5000,
+                           verbose=False)
+    assert got.nnz == ref.nnz, (got.nnz, ref.nnz)
+    np.testing.assert_allclose(check_sum(got), check_sum(ref), rtol=1e-6)
