@@ -50,6 +50,12 @@ TM = int(os.environ.get("SIMILARIPY_TPU_TM", 256))  # rows per block
 # (fewer grid steps at the same VMEM budget; 1024 blows the 16 MB cap)
 KB = int(os.environ.get("SIMILARIPY_TPU_KB", 768))
 DEFAULT_TC = int(os.environ.get("SIMILARIPY_TPU_TC", 4096))  # column-tile width
+# symmetric-kernel rows per block: each row-block re-streams the full
+# (u_pad, tc) inner tile from HBM, so fewer/larger row blocks halve that
+# traffic. v5e headline samples: best-of rounds 9.73/9.94 s at 512 vs
+# 10.35 s at 256, medians within tunnel jitter — kept at 512 for the
+# better tail; still fits the 16 MB scoped VMEM.
+SYM_TM = int(os.environ.get("SIMILARIPY_TPU_SYM_TM", 512))
 
 
 def split_bf16x3(x, axis: int):
@@ -870,9 +876,14 @@ def fused_sym_topk(
         u_pad //= 2
     k_pad_r, k_pad_c = sym_k_pads(k, tc, sw)
     # blocks must not straddle an anchor row-tile boundary (rt constancy):
-    # tc is always a multiple of 128, so fall back to 128-row blocks when
-    # the preferred TM does not divide the tile width
-    tm = TM if TM <= tc and tc % TM == 0 else 128
+    # tc is always a multiple of 128, so fall back through SYM_TM -> TM ->
+    # 128-row blocks until one divides the tile width
+    if SYM_TM <= tc and tc % SYM_TM == 0:
+        tm = SYM_TM
+    elif TM <= tc and tc % TM == 0:
+        tm = TM
+    else:
+        tm = 128
     assert sw % tm == 0 and u_pad % KB == 0 and d.shape[1] == tc, (sw, u_pad)
     assert tc % tm == 0, (tc, tm)
     assert crv.shape == (k_pad_r, sw) and ccv.shape == (k_pad_c, tc)
