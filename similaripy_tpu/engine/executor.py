@@ -320,6 +320,27 @@ def panel_forward(
 # matrix1 and O(nnz) for matrix2.
 
 
+@partial(
+    jax.jit,
+    static_argnames=("u_pad", "tc", "compute_dtype", "split"),
+    donate_argnums=(0,),
+)
+def _densify_group_into(arena, rows, cols, vals, *, u_pad: int, tc: int,
+                        compute_dtype: str, split: bool = False):
+    """_densify_group writing over the retired group's donated stack.
+
+    Donation lets XLA alias the multi-GB buffer, so the host can enqueue
+    the next group's densify WITHOUT a device barrier: the single TPU
+    stream orders the overwrite after every already-enqueued panel that
+    reads the old stack, and peak HBM stays at one group's working set
+    (the same trick as the symmetric executor's anchor arenas)."""
+    del arena  # buffer reused for the output via donation
+    return _densify_group(
+        rows, cols, vals, u_pad=u_pad, tc=tc,
+        compute_dtype=compute_dtype, split=split,
+    )
+
+
 @partial(jax.jit, static_argnames=("u_pad", "tc", "compute_dtype", "split"))
 def _densify_group(rows, cols, vals, *, u_pad: int, tc: int,
                    compute_dtype: str, split: bool = False):
@@ -422,7 +443,7 @@ def _run_group_panels(
                     [pvec, xs["col_offset"][0].astype(jnp.float32).reshape(1),
                      jnp.zeros(5, jnp.float32)]
                 )
-                vals_t, idx_t = fused_tile_topk(
+                new_vals, new_idx = fused_tile_topk(
                     m1_dense,
                     d,
                     x_t, x_c, x_d,
@@ -433,6 +454,7 @@ def _run_group_panels(
                     ),
                     fmask=fmask.astype(jnp.uint8) if fmask is not None else None,
                     tmask=tmask.astype(jnp.uint8) if tmask is not None else None,
+                    carry=(topk_vals, topk_idx),
                     flags=flags,
                     k_pad=k_pad,
                     int8_mode=compute_dtype in ("int8", "int4"),
@@ -440,11 +462,6 @@ def _run_group_panels(
                     split_f32=f32x3,
                     interpret=jax.default_backend() != "tpu",
                 )
-                cand_vals, cand_idx = vals_t.T, idx_t.T
-                all_vals = jnp.concatenate([topk_vals, cand_vals], axis=1)
-                all_idx = jnp.concatenate([topk_idx, cand_idx], axis=1)
-                new_vals, pos = jax.lax.top_k(all_vals, k)
-                new_idx = jnp.take_along_axis(all_idx, pos, axis=1)
                 return (new_vals, new_idx), None
 
             xy = jnp.dot(m1_dense, d, preferred_element_type=acc, precision=prec)
@@ -540,6 +557,17 @@ def _pack_carries(vals, idx):
     buffer so the host fetch is a single transfer."""
     return jnp.stack(
         [jax.lax.bitcast_convert_type(vals, jnp.int32), idx], axis=-1
+    )
+
+
+@partial(jax.jit, static_argnames=("k_out",))
+def _pack_carry_planes(vals, idx, *, k_out: int):
+    """(P, k_pad, trp) fused-path carry planes -> packed (P, trp, k_out, 2)
+    int32 (planes are sorted desc along k_pad, so the slice is the top-k)."""
+    v = jnp.swapaxes(vals, 1, 2)[:, :, :k_out]
+    i = jnp.swapaxes(idx, 1, 2)[:, :, :k_out]
+    return jnp.stack(
+        [jax.lax.bitcast_convert_type(v, jnp.int32), i], axis=-1
     )
 
 
@@ -858,7 +886,9 @@ def execute(
         tc = _round_up(min(tc, max_tc, _round_up(C, 128)), 128)
         trp = min(_round_up(trp, TM), _round_up(T, TM))
         u_pad = _round_up(u_pad, KB)
-        k_pad = _round_up(min(k, tc), 8)
+        # carry planes accumulate across ALL tiles, so their depth is k
+        # (clamped to the catalog), not one tile's width
+        k_pad = _round_up(min(k, C), 8)
         n_tiles = math.ceil(C / tc)
         if k_pad > 1024:
             # Very large k: the in-kernel iterative extraction costs one
@@ -945,8 +975,9 @@ def execute(
 
     pvec = jnp.asarray(build_pvec(params, inv_scale))
 
-    out_vals = np.empty((T, k), np.float32)
-    out_idx = np.empty((T, k), np.int32)
+    # NEG_INF-padded so a k_out < k fused readback keeps the (T, k) contract
+    out_vals = np.full((T, k), NEG_INF, np.float32)
+    out_idx = np.zeros((T, k), np.int32)
 
     xt_full = pre.Xt if pre.Xt is not None else None
     xc_full = pre.Xc if pre.Xc is not None else None
@@ -1038,8 +1069,14 @@ def execute(
             for name in sel_tiles[0]
         }  # (P, n_tiles, pf)
 
-    carry_v = jnp.full((n_panels, trp, k), NEG_INF, jnp.float32)
-    carry_i = jnp.zeros((n_panels, trp, k), jnp.int32)
+    if use_pallas:
+        # (k_pad, trp) carry planes, merged in-kernel per tile (the same
+        # two-phase pool as the symmetric kernel's row side)
+        carry_v = jnp.full((n_panels, k_pad, trp), NEG_INF, jnp.float32)
+        carry_i = jnp.zeros((n_panels, k_pad, trp), jnp.int32)
+    else:
+        carry_v = jnp.full((n_panels, trp, k), NEG_INF, jnp.float32)
+        carry_i = jnp.zeros((n_panels, trp, k), jnp.int32)
 
     timing = os.environ.get("SIMILARIPY_TPU_TIMING") == "1"
     if timing:
@@ -1066,17 +1103,27 @@ def execute(
             print(f"# {label}: {now - _t_mark:.2f}s", file=sys.stderr, flush=True)
             _t_mark = now
 
+    d_stack = None
     for g in range(n_groups):
         t0, t1 = g * g_tiles, (g + 1) * g_tiles
-        d_stack = _densify_group(
+        group_coo = (
             tiles_common["m2_rows"][t0:t1],
             tiles_common["m2_cols"][t0:t1],
             tiles_common["m2_vals"][t0:t1],
-            u_pad=u_pad,
-            tc=tc,
-            compute_dtype=compute_dtype,
-            split=f32x3,
         )
+        if d_stack is None:
+            d_stack = _densify_group(
+                *group_coo, u_pad=u_pad, tc=tc,
+                compute_dtype=compute_dtype, split=f32x3,
+            )
+        else:
+            # retire the previous group's stack into this one's densify —
+            # donation replaces the forced-readback barrier (HBM stays at
+            # one stack; the stream orders the overwrite after its readers)
+            d_stack = _densify_group_into(
+                d_stack, *group_coo, u_pad=u_pad, tc=tc,
+                compute_dtype=compute_dtype, split=f32x3,
+            )
         if timing:
             _lap(f"group {g} densify", d_stack)
         group_tiles = {
@@ -1112,31 +1159,30 @@ def execute(
             use_pallas=use_pallas,
             f32x3=f32x3,
         )
-        # barrier before the next group: dispatch is async, and without it
-        # the next group's dense tile stack stays live while later work
-        # queues behind it (2x-3x HBM -> OOM). block_until_ready is not
-        # reliable through tunneled backends, so force a tiny readback.
-        if n_groups > 1 or timing:
-            np.asarray(carry_v[:1, :1, :1])
+        if timing:
+            np.asarray(carry_v[:1, :1, :1])  # sync so laps are honest
+            _lap(f"group {g} panels x{n_panels}")
         if progress is not None:
-            # per-group ticks (post-barrier, so the bar tracks real device
-            # completion rather than async dispatch)
+            # per-group ticks (dispatch-time; device completion is bounded
+            # by the donation chain, one group's working set ahead)
             done = T if g == n_groups - 1 else (T * (g + 1)) // n_groups
             prev = (T * g) // n_groups
             progress.update(done - prev)
-        if timing:
-            _lap(f"group {g} panels x{n_panels}")
-        del d_stack
 
     # single batched readback: per-array transfers pay a full tunnel
     # round-trip each, so pack (vals, idx) into one int32 buffer first
-    packed = np.asarray(_pack_carries(carry_v, carry_i))
+    if use_pallas:
+        k_out = min(k, k_pad)
+        packed = np.asarray(_pack_carry_planes(carry_v, carry_i, k_out=k_out))
+    else:
+        k_out = k
+        packed = np.asarray(_pack_carries(carry_v, carry_i))
     all_vals = packed.view(np.float32)[..., 0]
     all_idx = packed[..., 1]
     for p in range(n_panels):
         sel = panel_sel[p]
-        out_vals[sel] = all_vals[p, : sel.shape[0]]
-        out_idx[sel] = all_idx[p, : sel.shape[0]]
+        out_vals[sel, :k_out] = all_vals[p, : sel.shape[0]]
+        out_idx[sel, :k_out] = all_idx[p, : sel.shape[0]]
     if timing:
         _lap("output readback")
 

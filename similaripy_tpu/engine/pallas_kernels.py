@@ -157,6 +157,7 @@ def _kernel(
     yc_ref,
     yd_ref,
     *rest,  # optional [allowed(1,TC) u8] [fmask(TM,TC) u8] [tmask(TM,TC) u8],
+    # merge mode: cv(k_pad,TM) f32, ci(k_pad,TM) i32, rkth(TM,1) f32,
     # then outputs vals(k_pad,TM) f32, idx(k_pad,TM) i32, scratch xy(TM,TC)
     flags: tuple,
     has_allowed: bool,
@@ -167,11 +168,16 @@ def _kernel(
     k_pad: int,
     tm: int,
     tc: int,
+    merge_carry: bool = False,
 ):
     it = iter(rest)
     allowed_ref = next(it) if has_allowed else None
     fmask_ref = next(it) if has_filter else None
     tmask_ref = next(it) if has_target else None
+    if merge_carry:
+        cv_ref = next(it)
+        ci_ref = next(it)
+        rkth_ref = next(it)
     vals_ref = next(it)
     idx_ref = next(it)
     xy_ref = next(it)
@@ -215,19 +221,64 @@ def _kernel(
             xt_ref, xc_ref, xd_ref, yt_ref, yc_ref, yd_ref, extra,
         )
 
-        # ---- exact top-k_pad by iterative extraction (replaces the heap,
-        # s_plus.h:39-64): k_pad sequential max/argmax passes over the
-        # VMEM-resident tile. ----
         cols = jax.lax.broadcasted_iota(jnp.int32, (tm, tc), 1)
 
-        def body(i, v):
-            m = jnp.max(v, axis=1)
-            am = jnp.argmax(v, axis=1).astype(jnp.int32)
-            vals_ref[pl.ds(i, 1), :] = m[None, :]
-            idx_ref[pl.ds(i, 1), :] = (am + col_base)[None, :]
-            return jnp.where(cols == am[:, None], NEG_INF, v)
+        if not merge_carry:
+            # ---- exact top-k_pad by iterative extraction (replaces the
+            # heap, s_plus.h:39-64): k_pad sequential max/argmax passes
+            # over the VMEM-resident tile. ----
+            def body(i, v):
+                m = jnp.max(v, axis=1)
+                am = jnp.argmax(v, axis=1).astype(jnp.int32)
+                vals_ref[pl.ds(i, 1), :] = m[None, :]
+                idx_ref[pl.ds(i, 1), :] = (am + col_base)[None, :]
+                return jnp.where(cols == am[:, None], NEG_INF, v)
 
-        jax.lax.fori_loop(0, k_pad, body, val)
+            jax.lax.fori_loop(0, k_pad, body, val)
+            return
+
+        # ---- merge-carry mode (ported from the symmetric kernel's row
+        # side): threshold-adaptive extraction pruned against the carry's
+        # per-row kth, then an in-kernel merge with the carried top-k —
+        # the caller's per-tile XLA [concat -> top_k -> gather] chain
+        # disappears and the carry never round-trips through it. ----
+        surv = val > rkth_ref[:]  # (tm, tc); kth = -inf on a cold carry
+        v0 = jnp.where(surv, val, NEG_INF)
+        n_row = jnp.minimum(
+            jnp.max(jnp.sum(surv.astype(jnp.int32), axis=1)),
+            jnp.int32(k_pad),
+        )
+        vals_ref[:] = jnp.full((k_pad, tm), NEG_INF, jnp.float32)
+        idx_ref[:] = jnp.zeros((k_pad, tm), jnp.int32)
+
+        def row_step(c):
+            i, v = c
+            mx = jnp.max(v, axis=1)
+            am = jnp.argmax(v, axis=1).astype(jnp.int32)
+            vals_ref[pl.ds(i, 1), :] = mx[None, :]
+            idx_ref[pl.ds(i, 1), :] = (am + col_base)[None, :]
+            return i + 1, jnp.where(cols == am[:, None], NEG_INF, v)
+
+        jax.lax.while_loop(
+            lambda c: c[0] < n_row, row_step, (jnp.int32(0), v0)
+        )
+
+        two_k = 2 * k_pad
+        mv = jnp.concatenate([vals_ref[:], cv_ref[:]], axis=0)
+        mi = jnp.concatenate([idx_ref[:], ci_ref[:]], axis=0)
+        mrows = jax.lax.broadcasted_iota(jnp.int32, (two_k, tm), 0)
+        mbig = jnp.int32(two_k)
+
+        def merge_body(i, v):
+            mx = jnp.max(v, axis=0)
+            am = jnp.min(jnp.where(v == mx[None, :], mrows, mbig), axis=0)
+            vals_ref[pl.ds(i, 1), :] = mx[None, :]
+            idx_ref[pl.ds(i, 1), :] = jnp.max(
+                jnp.where(mrows == am[None, :], mi, -1), axis=0
+            )[None, :]
+            return jnp.where(mrows == am[None, :], NEG_INF, v)
+
+        jax.lax.fori_loop(0, k_pad, merge_body, mv)
 
 
 def _panel_kernel(
@@ -438,6 +489,7 @@ def fused_tile_topk(
     allowed=None,  # (tc,) uint8
     fmask=None,  # (trp, tc) uint8, 1 = filtered out
     tmask=None,  # (trp, tc) uint8, 1 = allowed target
+    carry=None,  # (cv, ci) of (k_pad, trp) — in-kernel top-K carry merge
     *,
     flags: tuple,
     k_pad: int,
@@ -448,6 +500,11 @@ def fused_tile_topk(
 ):
     """Returns (vals, idx) of shape (k_pad, trp): per-row top-k_pad of the
     fused similarity tile, sorted descending, ids global via col_base.
+
+    With `carry`, the result is instead the carry MERGED with the tile's
+    candidates (threshold-adaptive extraction pruned against the carry's
+    per-row kth), so the caller scans tiles by feeding each call's output
+    to the next — no XLA merge chain per tile.
 
     With `split_f32` the operands arrive as split_bf16x3 stacks (K axis
     doubled) and the K sweep runs 3 phases — XLA-HIGH accuracy at ~2x the
@@ -500,6 +557,15 @@ def fused_tile_topk(
     if tmask is not None:
         in_specs.append(pl.BlockSpec((TM, tc), lambda m, kk: (m, 0)))
         args.append(tmask)
+    if carry is not None:
+        cv, ci = carry
+        assert cv.shape == (k_pad, trp), (cv.shape, k_pad, trp)
+        in_specs.append(pl.BlockSpec((k_pad, TM), lambda m, kk: (0, m)))
+        args.append(cv)
+        in_specs.append(pl.BlockSpec((k_pad, TM), lambda m, kk: (0, m)))
+        args.append(ci)
+        in_specs.append(pl.BlockSpec((TM, 1), lambda m, kk: (m, 0)))
+        args.append(cv[k_pad - 1].reshape(trp, 1))  # per-row carry kth
 
     kernel = partial(
         _kernel,
@@ -512,6 +578,7 @@ def fused_tile_topk(
         k_pad=k_pad,
         tm=TM,
         tc=tc,
+        merge_carry=carry is not None,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -290,7 +290,7 @@ def _run_sharded_group(
                     [pvec, xs["col_offset"][0].astype(jnp.float32).reshape(1),
                      jnp.zeros(5, jnp.float32)]
                 )
-                vals_t, idx_t = fused_tile_topk(
+                new_v, new_i = fused_tile_topk(
                     m1_dense, d,
                     x_t, x_c, x_d,
                     xs["y_t"], xs["y_c"], xs["y_d"],
@@ -298,17 +298,13 @@ def _run_sharded_group(
                     allowed=(xs["allowed"].astype(jnp.uint8)
                              if has_allowed else None),
                     fmask=None, tmask=None,
+                    carry=(topk_vals, topk_idx),
                     flags=flags, k_pad=k_pad,
                     int8_mode=compute_dtype in ("int8", "int4"),
                     precision=prec,
                     split_f32=f32x3,
                     interpret=jax.default_backend() != "tpu",
                 )
-                cand_vals, cand_idx = vals_t.T, idx_t.T
-                all_v = jnp.concatenate([topk_vals, cand_vals], axis=1)
-                all_i = jnp.concatenate([topk_idx, cand_idx], axis=1)
-                new_v, pos = jax.lax.top_k(all_v, k)
-                new_i = jnp.take_along_axis(all_i, pos, axis=1)
                 return (new_v, new_i), None
 
             xy = jnp.dot(m1_dense, d, preferred_element_type=acc,
@@ -358,15 +354,21 @@ def _run_sharded_group(
       d_stack, tiles, pvec, carry_vals, carry_idx)
 
 
-@partial(jax.jit, static_argnames=("mesh", "k"))
-def _merge_cols(carry_vals, carry_idx, *, mesh: Mesh, k: int):
+@partial(jax.jit, static_argnames=("mesh", "k", "planes"))
+def _merge_cols(carry_vals, carry_idx, *, mesh: Mesh, k: int,
+                planes: bool = False):
     """Final distributed top-K merge: gather every col-shard's local k and
     re-select (the distributed replacement for the reference's per-thread
-    heap drain, s_plus.h:39-64)."""
+    heap drain, s_plus.h:39-64). With `planes` the local carry arrives as
+    sorted (k_pad, trp) fused-kernel planes and is sliced to (trp, k)
+    first; k here is already min(k, k_pad)."""
     has_cols = "cols" in mesh.axis_names
 
     def block_fn(cv, ci):
         v, i = cv[0, 0], ci[0, 0]
+        if planes:
+            v = v.T[:, :k]  # sorted desc along k_pad
+            i = i.T[:, :k]
         if has_cols:
             av = jax.lax.all_gather(v, "cols", axis=1, tiled=True)
             ai = jax.lax.all_gather(i, "cols", axis=1, tiled=True)
@@ -418,7 +420,9 @@ def _execute_sharded_grouped(
     u_pad = max(_round_up(U, KB), KB)
     tc = DEFAULT_TC if compute_dtype != "float32" else DEFAULT_TC // 2
     tc = min(tc, _round_up(C, 128))
-    k_pad = _round_up(min(k, tc), 8)
+    # carry planes accumulate across all tiles -> depth min(k, C) (same
+    # reasoning as the executor)
+    k_pad = _round_up(min(k, C), 8)
     if k_pad > 1024:
         use_pallas = False  # same documented cutover as the executor
         f32x3 = False
@@ -571,16 +575,17 @@ def _execute_sharded_grouped(
         batch_args, batch_sels = cached
 
     # carries per batch, local per (row, col) shard; group-outer loop so
-    # only ONE group's dense tile stack is resident at a time
+    # only ONE group's dense tile stack is resident at a time. Fused path:
+    # (k_pad, trp) planes merged in-kernel per tile.
+    carry_shape = (
+        (R_sh, C_sh, k_pad, trp) if use_pallas else (R_sh, C_sh, trp, k)
+    )
     carries = [
         (
             jax.device_put(
-                np.full((R_sh, C_sh, trp, k), NEG_INF, np.float32),
-                carry_sharding,
+                np.full(carry_shape, NEG_INF, np.float32), carry_sharding
             ),
-            jax.device_put(
-                np.zeros((R_sh, C_sh, trp, k), np.int32), carry_sharding
-            ),
+            jax.device_put(np.zeros(carry_shape, np.int32), carry_sharding),
         )
         for _ in range(n_batches)
     ]
@@ -615,16 +620,18 @@ def _execute_sharded_grouped(
             np.asarray(carries[0][0].ravel()[:1])
         del d_stack
 
-    out_vals = np.empty((T, k), np.float32)
-    out_idx = np.empty((T, k), np.int32)
+    k_out = min(k, k_pad) if use_pallas else k
+    out_vals = np.full((T, k), NEG_INF, np.float32)
+    out_idx = np.zeros((T, k), np.int32)
     for b in range(n_batches):
-        vals, idx = _merge_cols(*carries[b], mesh=mesh, k=k)
+        vals, idx = _merge_cols(*carries[b], mesh=mesh, k=k_out,
+                                planes=use_pallas)
         vals = np.asarray(vals)
         idx = np.asarray(idx)
         done = 0
         for r, sel in enumerate(batch_sels[b]):
-            out_vals[sel] = vals[r, : sel.shape[0]]
-            out_idx[sel] = idx[r, : sel.shape[0]]
+            out_vals[sel, :k_out] = vals[r, : sel.shape[0]]
+            out_idx[sel, :k_out] = idx[r, : sel.shape[0]]
             done += sel.shape[0]
         if progress is not None:
             progress.update(done)

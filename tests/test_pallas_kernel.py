@@ -245,3 +245,22 @@ def test_f32x3_vs_full_f32_oracle(matrix, monkeypatch):
                      precision="high", verbose=False)
     ref = py_cosine(matrix, 20).tocsr()
     np.testing.assert_allclose(check_sum(got), check_sum(ref), rtol=1e-4)
+
+
+def test_pallas_carry_merge_multigroup(monkeypatch):
+    """In-kernel carry merge across MULTIPLE resident tile groups on the
+    general (explicit matrix2) path: the donated carry planes must thread
+    through group boundaries exactly."""
+    monkeypatch.setenv("SIMILARIPY_TPU_HBM_BYTES", str(64 << 20))
+    monkeypatch.setenv("SIMILARIPY_TPU_TC", "128")  # 3 tiles, g_tiles=1
+    sim.clear_caches()
+    rng = np.random.default_rng(11)
+    m = sp.random_array((300, 700), density=0.05, format="csr",
+                        dtype=np.float32, random_state=rng)
+    m.data[:] = np.round(m.data * 4) + 1.0  # auto int8
+    got = sim.cosine(m, m.T.tocsr(), k=40, verbose=False)
+    monkeypatch.setenv("SIMILARIPY_TPU_USE_PALLAS", "0")
+    sim.clear_caches()
+    ref = sim.cosine(m, m.T.tocsr(), k=40, verbose=False)
+    assert got.nnz == ref.nnz, (got.nnz, ref.nnz)
+    np.testing.assert_allclose(check_sum(got), check_sum(ref), rtol=1e-6)
