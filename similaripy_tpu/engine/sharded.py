@@ -47,6 +47,7 @@ from .executor import (
     densify,
     plan_tiles,
     resolve_compute_dtype,
+    scatter_mask,
     splus_epilogue,
     topk_merge,
 )
@@ -229,7 +230,8 @@ def _run_sharded_panel(
     jax.jit,
     static_argnames=(
         "mesh", "flags", "k", "k_pad", "trp", "u_pad", "tc",
-        "has_allowed", "compute_dtype", "precision", "use_pallas", "f32x3",
+        "has_allowed", "has_filter", "has_target",
+        "compute_dtype", "precision", "use_pallas", "f32x3",
     ),
     donate_argnums=(9, 10),
 )
@@ -254,12 +256,19 @@ def _run_sharded_group(
     u_pad: int,
     tc: int,
     has_allowed: bool,
+    has_filter: bool,
+    has_target: bool,
     compute_dtype: str,
     precision: str,
     use_pallas: bool,
     f32x3: bool = False,
 ):
-    """One panel batch x one resident tile group, all shards at once."""
+    """One panel batch x one resident tile group, all shards at once.
+
+    MATRIX-mode selectors arrive as per-(row-shard, tile) padded COO under
+    `fil_*`/`tgt_*` keys (sharded over BOTH mesh axes) and scatter to
+    per-tile masks inside the shard — the sharded equivalent of the
+    reference's per-row binary-search exclusion (s_plus.h:159-188)."""
     cdt, acc = compute_cast(compute_dtype)
     prec = {
         "default": jax.lax.Precision.DEFAULT,
@@ -272,6 +281,11 @@ def _run_sharded_group(
                  d_stack, tiles, pvec, carry_vals, carry_idx):
         m1_rows, m1_cols, m1_vals = m1_rows[0], m1_cols[0], m1_vals[0]
         x_t, x_c, x_d = x_t[0], x_c[0], x_d[0]
+        # selector arrays carry a leading row-shard dim (size 1 in-block)
+        tiles = {
+            k2: (v[0] if k2.startswith(("fil_", "tgt_")) else v)
+            for k2, v in tiles.items()
+        }
         cv, ci = carry_vals[0, 0], carry_idx[0, 0]
 
         m1_dense = densify((trp, u_pad), m1_rows, m1_cols, m1_vals, cdt)
@@ -283,6 +297,11 @@ def _run_sharded_group(
         def tile_step(carry, xs):
             topk_vals, topk_idx = carry
             d = xs["d"]
+            fmask = tmask = None
+            if has_filter:
+                fmask = scatter_mask((trp, tc), xs["fil_rows"], xs["fil_cols"])
+            if has_target:
+                tmask = scatter_mask((trp, tc), xs["tgt_rows"], xs["tgt_cols"])
             if use_pallas:
                 from .pallas_kernels import fused_tile_topk
 
@@ -297,7 +316,10 @@ def _run_sharded_group(
                     pvec_ext,
                     allowed=(xs["allowed"].astype(jnp.uint8)
                              if has_allowed else None),
-                    fmask=None, tmask=None,
+                    fmask=fmask.astype(jnp.uint8) if fmask is not None
+                    else None,
+                    tmask=tmask.astype(jnp.uint8) if tmask is not None
+                    else None,
                     carry=(topk_vals, topk_idx),
                     flags=flags, k_pad=k_pad,
                     int8_mode=compute_dtype in ("int8", "int4"),
@@ -314,6 +336,10 @@ def _run_sharded_group(
             candidate = xy != 0.0
             if has_allowed:
                 candidate = jnp.logical_and(candidate, xs["allowed"][None, :])
+            if has_filter:
+                candidate = jnp.logical_and(candidate, jnp.logical_not(fmask))
+            if has_target:
+                candidate = jnp.logical_and(candidate, tmask)
             val = splus_epilogue(
                 xy, candidate, x_t, x_c, x_d,
                 xs["y_t"], xs["y_c"], xs["y_d"], pvec, flags,
@@ -331,7 +357,12 @@ def _run_sharded_group(
 
     col_ax = "cols" if has_cols_axis else None
     tile_specs = {
-        k2: P(col_ax, *([None] * (v.ndim - 1))) for k2, v in tiles.items()
+        k2: (
+            P("rows", col_ax, None)
+            if k2.startswith(("fil_", "tgt_"))
+            else P(col_ax, *([None] * (v.ndim - 1)))
+        )
+        for k2, v in tiles.items()
     }
     return jax.shard_map(
         block_fn,
@@ -452,6 +483,17 @@ def _execute_sharded_grouped(
         _fingerprint(pre.Yt, pre.Yc, pre.Yd, pre.col_allowed),
         compute_dtype, tc, n_tiles, u_pad, mesh,
     )
+    # device layout: (n_groups, C_sh*L, ...) with tiles interleaved so
+    # shard c's tiles are [c*n_groups*L ... ) split across groups —
+    # i.e. tile (g, c*L + j) = flat tile c*(n_groups*L) + g*L + j
+    def to_dev(a):
+        a = np.asarray(a)
+        a2 = a.reshape(C_sh, n_groups, L, *a.shape[1:])
+        a2 = np.moveaxis(a2, 1, 0).reshape(
+            n_groups, C_sh * L, *a.shape[1:]
+        )
+        return a2
+
     cached = _cache_get(m2_key)
     if cached is None:
         m2_csc = csc_quantized(
@@ -468,17 +510,6 @@ def _execute_sharded_grouped(
         col_offsets = (np.arange(n_tiles, dtype=np.int32) * tc).reshape(
             n_tiles, 1
         )
-
-        # device layout: (n_groups, C_sh*L, ...) with tiles interleaved so
-        # shard c's tiles are [c*n_groups*L ... ) split across groups —
-        # i.e. tile (g, c*L + j) = flat tile c*(n_groups*L) + g*L + j
-        def to_dev(a):
-            a = np.asarray(a)
-            a2 = a.reshape(C_sh, n_groups, L, *a.shape[1:])
-            a2 = np.moveaxis(a2, 1, 0).reshape(
-                n_groups, C_sh * L, *a.shape[1:]
-            )
-            return a2
 
         sharding = NamedSharding(
             mesh,
@@ -504,9 +535,9 @@ def _execute_sharded_grouped(
         }
         # flat index of tile (g, s*L+j) in the balanced layout, for
         # un-permuting: col_offset already carries the flat position
-        _cache_put(m2_key, (tiles_dev, col_map))
+        _cache_put(m2_key, (tiles_dev, col_map, tile_lists))
     else:
-        tiles_dev, col_map = cached
+        tiles_dev, col_map, tile_lists = cached
     has_allowed = "allowed" in tiles_dev
 
     pvec = jnp.asarray(build_pvec(params, inv_scale))
@@ -574,6 +605,53 @@ def _execute_sharded_grouped(
     else:
         batch_args, batch_sels = cached
 
+    # MATRIX-mode selectors: per-(batch, row-shard) padded COO tiles under
+    # the balanced column layout, sharded over BOTH mesh axes (rebuilt per
+    # call — selector matrices change every scoring batch)
+    has_filter = pre.filter_matrix is not None
+    has_target = pre.target_matrix is not None
+    sel_batches: list = [dict() for _ in range(n_batches)]
+    if has_filter or has_target:
+        from .executor import _stack_selector_tiles_balanced
+
+        sel_sharding = NamedSharding(
+            mesh, P("rows" if "rows" in mesh.axis_names else None,
+                    None, col_ax, None)
+        )
+
+        def stage_selector(mat, prefix):
+            sel_t = mat[targets]
+            cnt = np.diff(sel_t.indptr)
+            pf = _pad_bucket(
+                max(
+                    (int(cnt[sel].sum())
+                     for b in range(n_batches) for sel in batch_sels[b]),
+                    default=1,
+                ),
+                minimum=256,
+            )
+            for b in range(n_batches):
+                rows_np = np.full((R_sh, n_groups, C_sh * L, pf), trp,
+                                  np.int32)
+                cols_np = np.zeros((R_sh, n_groups, C_sh * L, pf), np.int32)
+                for r, sel in enumerate(batch_sels[b]):
+                    rr, cc = _stack_selector_tiles_balanced(
+                        sel_t[sel].tocsc(), tile_lists, tc, trp, pf=pf
+                    )
+                    rows_np[r] = to_dev(rr)
+                    cols_np[r] = to_dev(cc)
+                sel_batches[b][prefix + "rows"] = jax.device_put(
+                    rows_np, sel_sharding
+                )
+                sel_batches[b][prefix + "cols"] = jax.device_put(
+                    cols_np, sel_sharding
+                )
+
+        if has_filter:
+            stage_selector(pre.filter_matrix, "fil_")
+        if has_target:
+            stage_selector(pre.target_matrix, "tgt_")
+
     # carries per batch, local per (row, col) shard; group-outer loop so
     # only ONE group's dense tile stack is resident at a time. Fused path:
     # (k_pad, trp) planes merged in-kernel per tile.
@@ -606,11 +684,15 @@ def _execute_sharded_grouped(
         }
         for b in range(n_batches):
             cv, ci = carries[b]
+            tiles_gb = dict(tiles_g)
+            for name, arr in sel_batches[b].items():
+                tiles_gb[name] = arr[:, g]  # (R_sh, C_sh*L, pf)
             carries[b] = _run_sharded_group(
-                *batch_args[b], d_stack, tiles_g, pvec, cv, ci,
+                *batch_args[b], d_stack, tiles_gb, pvec, cv, ci,
                 mesh=mesh, flags=params.static_flags(),
                 k=k, k_pad=k_pad, trp=trp, u_pad=u_pad, tc=tc,
                 has_allowed=has_allowed,
+                has_filter=has_filter, has_target=has_target,
                 compute_dtype=compute_dtype, precision=precision,
                 use_pallas=use_pallas, f32x3=f32x3,
             )
@@ -668,9 +750,7 @@ def execute_sharded(
             budget_bytes=budget_bytes, progress=progress,
         )
     if (
-        pre.filter_matrix is None
-        and pre.target_matrix is None
-        and pre.targets.shape[0] > 0
+        pre.targets.shape[0] > 0
         and pre.k > 0
         and os.environ.get("SIMILARIPY_TPU_SHARDED_GROUPED", "1") != "0"
     ):

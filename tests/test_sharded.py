@@ -163,3 +163,24 @@ def test_sharded_grouped_f32x3(matrix, monkeypatch):
         check_sum(got), check_sum(ref), rtol=1e-5,
         err_msg="sharded grouped f32x3",
     )
+
+
+def test_sharded_grouped_selectors_pallas(matrix, monkeypatch):
+    """MATRIX-mode filter + target selectors through the grouped sharded
+    path's fused kernel (scatter-mask tiles sharded over both mesh axes)."""
+    monkeypatch.setenv("SIMILARIPY_TPU_USE_PALLAS", "1")
+    mesh = make_mesh(rows=2, cols=4)
+    rng = np.random.default_rng(13)
+    out_shape = (matrix.shape[0], matrix.shape[0])
+    fil = sp.random_array(out_shape, density=0.02, format="csr",
+                          dtype=np.float32, random_state=rng)
+    tgt = sp.random_array(out_shape, density=0.3, format="csr",
+                          dtype=np.float32, random_state=rng)
+    got = sim.cosine(matrix, matrix.T.tocsr(), k=25, filter_cols=fil,
+                     target_cols=tgt, verbose=VERBOSE, mesh=mesh)
+    ref = sim.cosine(matrix, matrix.T.tocsr(), k=25, filter_cols=fil,
+                     target_cols=tgt, verbose=VERBOSE)
+    np.testing.assert_allclose(
+        check_sum(got), check_sum(ref), rtol=1e-4,
+        err_msg="sharded grouped selectors",
+    )
