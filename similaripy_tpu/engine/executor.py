@@ -694,6 +694,26 @@ def _stack_selector_tiles_balanced(
     return rows, cols
 
 
+def _selector_pf(sel_t, panel_sels, col_map, tc: int, C: int,
+                 n_tiles: int) -> int:
+    """Shared selector pad bucket: max per-(panel, tile) nnz.
+
+    This is the actual padded row length of the stacked selector tiles —
+    the panel TOTAL previously used here over-padded the staged arrays
+    (and their h2d uploads) by up to a factor of n_tiles."""
+    col_tile = np.zeros(C, np.int32)
+    used = col_map < C
+    col_tile[col_map[used]] = (np.flatnonzero(used) // tc).astype(np.int32)
+    mx = 1
+    for sel in panel_sels:
+        idx = sel_t[sel].indices
+        if idx.shape[0]:
+            mx = max(
+                mx, int(np.bincount(col_tile[idx], minlength=n_tiles).max())
+            )
+    return _pad_bucket(mx, minimum=256)
+
+
 def _vec_by_map(v: Optional[np.ndarray], col_map: np.ndarray, n_cols: int,
                 fill: float = 1.0) -> np.ndarray:
     """Reindex a per-column vector into the balanced device layout."""
@@ -1040,15 +1060,9 @@ def execute(
     sel_tiles = []
     pf_f = pf_t = None
     if has_filter:
-        cnt = np.diff(fil_t.indptr)
-        pf_f = _pad_bucket(
-            max((int(cnt[sel].sum()) for sel in panel_sel), default=1), minimum=256
-        )
+        pf_f = _selector_pf(fil_t, panel_sel, col_map, tc, C, n_tiles)
     if has_target:
-        cnt = np.diff(tgt_t.indptr)
-        pf_t = _pad_bucket(
-            max((int(cnt[sel].sum()) for sel in panel_sel), default=1), minimum=256
-        )
+        pf_t = _selector_pf(tgt_t, panel_sel, col_map, tc, C, n_tiles)
     sel_stacked = {}
     for p in range(n_panels):
         entry = {}
@@ -1163,8 +1177,11 @@ def execute(
             np.asarray(carry_v[:1, :1, :1])  # sync so laps are honest
             _lap(f"group {g} panels x{n_panels}")
         if progress is not None:
-            # per-group ticks (dispatch-time; device completion is bounded
-            # by the donation chain, one group's working set ahead)
+            # tick behind a one-element readback so the bar tracks real
+            # device completion; silent (verbose=False) runs skip the
+            # barrier and ride the donation chain barrier-free
+            if not timing:
+                np.asarray(carry_v[:1, :1, :1])
             done = T if g == n_groups - 1 else (T * (g + 1)) // n_groups
             prev = (T * g) // n_groups
             progress.update(done - prev)

@@ -620,15 +620,13 @@ def _execute_sharded_grouped(
         )
 
         def stage_selector(mat, prefix):
+            from .executor import _selector_pf
+
             sel_t = mat[targets]
-            cnt = np.diff(sel_t.indptr)
-            pf = _pad_bucket(
-                max(
-                    (int(cnt[sel].sum())
-                     for b in range(n_batches) for sel in batch_sels[b]),
-                    default=1,
-                ),
-                minimum=256,
+            pf = _selector_pf(
+                sel_t,
+                [sel for b in range(n_batches) for sel in batch_sels[b]],
+                col_map, tc, C, n_tiles,
             )
             for b in range(n_batches):
                 rows_np = np.full((R_sh, n_groups, C_sh * L, pf), trp,

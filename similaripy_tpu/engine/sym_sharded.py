@@ -52,9 +52,8 @@ from .symmetric import (
     _densify_rhs_stack,
     _plan,
     _round_up,
+    cached_prep_symmetric,
     epilogue_is_symmetric,
-    prep_coo_symmetric,
-    prep_vecs_symmetric,
 )
 
 
@@ -387,51 +386,33 @@ def execute_symmetric_sharded(
     n_tiles_ext = n_tiles_dev + 1
     Cext = n_tiles_ext * tc
 
-    # two-level prep cache: O(nnz) COO stacking keyed on the matrix and
-    # geometry only; the cheap epilogue-vector layouts nest under it keyed
-    # by their fingerprints (see symmetric.py)
+    # two-level prep cache shared with the single-device executor; the
+    # placement callbacks append the always-empty padding tile (absorbs
+    # out-of-window sweep steps) and replicate over the mesh
     def pad_tiles(a, fill):
-        # one always-empty padding tile absorbs out-of-window sweep steps
         pad = np.full((1,) + a.shape[1:], fill, a.dtype)
         return np.concatenate([a, pad], axis=0)
 
     repl = NamedSharding(mesh, P())
-    coo_key = (
-        "sym_sh_coo", pre.fp2,
-        pre.qscale2 if compute_dtype in ("int8", "int4") else None,
-        compute_dtype in ("int8", "int4"),
-        tc, n_tiles_dev, u_pad, mesh,
-    )
-    cached = _cache_get(coo_key)
-    if cached is None:
-        coo_host, item_map = prep_coo_symmetric(
-            pre, compute_dtype, tc, n_tiles_dev, u_pad, False
-        )
+
+    def place_coo(coo_host):
         coo_host = {
             "ru": pad_tiles(coo_host["ru"], u_pad),  # sentinel -> dropped
             "sl": pad_tiles(coo_host["sl"], 0),
             "vv": pad_tiles(coo_host["vv"], 0),
         }
-        dev_coo = {k2: jax.device_put(v, repl) for k2, v in coo_host.items()}
-        vec_cache: dict = {}
-        _cache_put(coo_key, (dev_coo, item_map, vec_cache))
-    else:
-        dev_coo, item_map, vec_cache = cached
-    vec_key = (
-        _fingerprint(pre.Yt, pre.Yc, pre.Yd),
-        _fingerprint(pre.Xt, pre.Xc, pre.Xd),
-    )
-    vecs = vec_cache.get(vec_key)
-    if vecs is None:
-        vecs = {
+        return {k2: jax.device_put(v, repl) for k2, v in coo_host.items()}
+
+    def place_vec(vec_host):
+        return {
             k2: jax.device_put(pad_tiles(v, 1.0), repl)
-            for k2, v in prep_vecs_symmetric(
-                pre, item_map, tc, n_tiles_dev
-            ).items()
+            for k2, v in vec_host.items()
         }
-        if len(vec_cache) >= 16:
-            vec_cache.pop(next(iter(vec_cache)))
-        vec_cache[vec_key] = vecs
+
+    dev_coo, vecs, item_map = cached_prep_symmetric(
+        pre, compute_dtype, tc, n_tiles_dev, u_pad, False,
+        key_tag=("mesh", mesh), place_coo=place_coo, place_vec=place_vec,
+    )
     dev = {**dev_coo, **vecs}
 
     pvec = jnp.asarray(build_pvec(params, inv_scale))

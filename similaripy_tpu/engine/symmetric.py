@@ -292,15 +292,9 @@ def _densify_lhs_into(arena, slots, users, vals, *, tc: int, u_pad: int,
     already-enqueued sweep that reads the old anchor, and peak HBM stays at
     one pair's working set."""
     del arena  # buffer reused for the output via donation
-    from .executor import compute_cast, densify
-
-    cdt, _ = compute_cast(compute_dtype)
-
-    def one(args):
-        s, u, v = args
-        return densify((tc, u_pad), s, u, v, cdt)
-
-    return jax.lax.map(one, (slots, users, vals))
+    return _densify_lhs(
+        slots, users, vals, tc=tc, u_pad=u_pad, compute_dtype=compute_dtype
+    )
 
 
 @partial(jax.jit, static_argnames=("tc", "u_pad", "compute_dtype", "split"))
@@ -336,18 +330,11 @@ def _densify_rhs_stack_into(arena, users, slots, vals, *, tc: int,
                             u_pad: int, compute_dtype: str,
                             split: bool = False):
     """_densify_rhs_stack over a retired anchor's donated buffer."""
-    del arena
-    from .executor import compute_cast, densify
-    from .pallas_kernels import split_bf16x3
-
-    cdt, _ = compute_cast(compute_dtype)
-
-    def one(args):
-        u, s, v = args
-        t = densify((u_pad, tc), u, s, v, cdt)
-        return split_bf16x3(t, axis=0) if split else t
-
-    return jax.lax.map(one, (users, slots, vals))
+    del arena  # buffer reused for the output via donation
+    return _densify_rhs_stack(
+        users, slots, vals, tc=tc, u_pad=u_pad,
+        compute_dtype=compute_dtype, split=split,
+    )
 
 
 @partial(jax.jit, static_argnames=("tc", "u_pad", "compute_dtype"))
@@ -383,21 +370,10 @@ def _densify_anchor_mxu(ps, vv, cnt, *, tc: int, u_pad: int,
 def _densify_anchor_mxu_into(arena, ps, vv, cnt, *, tc: int, u_pad: int,
                              compute_dtype: str):
     """_densify_anchor_mxu over a retired anchor's donated buffer."""
-    del arena
-    from .executor import compute_cast
-    from .pallas_kernels import mxu_scatter
-
-    cdt, _ = compute_cast(compute_dtype)
-    interpret = jax.default_backend() != "tpu"
-
-    def one(args):
-        p_, v, c = args
-        return mxu_scatter(
-            p_, v, c, u_pad=u_pad, tc=tc, out_dtype=cdt,
-            interpret=interpret,
-        )
-
-    return jax.lax.map(one, (ps, vv, cnt))
+    del arena  # buffer reused for the output via donation
+    return _densify_anchor_mxu(
+        ps, vv, cnt, tc=tc, u_pad=u_pad, compute_dtype=compute_dtype
+    )
 
 
 def _lpt_user_perm(t_users, u_pad: int) -> np.ndarray:
@@ -764,6 +740,51 @@ def prep_coo_symmetric(pre: Preprocessed, compute_dtype: str, tc: int,
     return coo, item_map
 
 
+def cached_prep_symmetric(pre: Preprocessed, compute_dtype: str, tc: int,
+                          n_tiles_dev: int, u_pad: int, mxu: bool,
+                          key_tag, place_coo, place_vec):
+    """Two-level prep cache shared by both symmetric executors.
+
+    The O(nnz) COO stacking caches under a (matrix2, quantization,
+    geometry) key; the cheap per-similarity vector layouts nest under that
+    entry keyed by their fingerprints, so a sweep of different
+    similarities over one matrix re-stacks nothing. `place_coo`/`place_vec`
+    turn host dicts into device dicts (plain upload vs mesh-replicated,
+    with any padding the executor needs). Returns (dev_coo, vecs,
+    item_map)."""
+    from .executor import _cache_get, _cache_put, _fingerprint
+
+    coo_key = (
+        "sym_coo", key_tag, pre.fp2,
+        pre.qscale2 if compute_dtype in ("int8", "int4") else None,
+        compute_dtype in ("int8", "int4"),
+        tc, n_tiles_dev, u_pad, mxu,
+    )
+    cached = _cache_get(coo_key)
+    if cached is None:
+        coo_host, item_map = prep_coo_symmetric(
+            pre, compute_dtype, tc, n_tiles_dev, u_pad, mxu
+        )
+        dev_coo = place_coo(coo_host)
+        vec_cache: dict = {}
+        _cache_put(coo_key, (dev_coo, item_map, vec_cache))
+    else:
+        dev_coo, item_map, vec_cache = cached
+    vec_key = (
+        _fingerprint(pre.Yt, pre.Yc, pre.Yd),
+        _fingerprint(pre.Xt, pre.Xc, pre.Xd),
+    )
+    vecs = vec_cache.get(vec_key)
+    if vecs is None:
+        vecs = place_vec(
+            prep_vecs_symmetric(pre, item_map, tc, n_tiles_dev)
+        )
+        if len(vec_cache) >= 16:
+            vec_cache.pop(next(iter(vec_cache)))
+        vec_cache[vec_key] = vecs
+    return dev_coo, vecs, item_map
+
+
 def prep_vecs_symmetric(pre: Preprocessed, item_map: np.ndarray, tc: int,
                         n_tiles_dev: int):
     """Cheap per-call prep: X/Y epilogue vectors in the tile-slot layout."""
@@ -874,42 +895,19 @@ def execute_symmetric(
     Cdev = n_tiles_dev * tc
     sw = gt * tc
 
-    # ---- host prep, two-level cache: the O(nnz) COO stacking depends
-    # only on (matrix2, quantization, geometry), so a sweep of different
-    # similarities over one matrix re-stacks nothing; the cheap epilogue
-    # vectors nest under the COO entry keyed by their fingerprints ----
-    coo_key = (
-        "sym_coo", pre.fp2,
-        pre.qscale2 if compute_dtype in ("int8", "int4") else None,
-        compute_dtype in ("int8", "int4"),
-        tc, n_tiles_dev, u_pad, mxu,
-    )
-    cached = _cache_get(coo_key)
-    if cached is None:
-        coo_host, item_map = prep_coo_symmetric(
-            pre, compute_dtype, tc, n_tiles_dev, u_pad, mxu
-        )
+    # ---- host prep: two-level cache (see cached_prep_symmetric) ----
+    def place_coo(coo_host):
         dev_coo = {k2: jnp.asarray(v) for k2, v in coo_host.items()}
         dev_coo["tid"] = jnp.arange(n_tiles_dev, dtype=jnp.int32)
-        vec_cache: dict = {}
-        _cache_put(coo_key, (dev_coo, item_map, vec_cache))
-    else:
-        dev_coo, item_map, vec_cache = cached
-    vec_key = (
-        _fingerprint(pre.Yt, pre.Yc, pre.Yd),
-        _fingerprint(pre.Xt, pre.Xc, pre.Xd),
+        return dev_coo
+
+    def place_vec(vec_host):
+        return {k2: jnp.asarray(v) for k2, v in vec_host.items()}
+
+    dev_coo, vecs, item_map = cached_prep_symmetric(
+        pre, compute_dtype, tc, n_tiles_dev, u_pad, mxu,
+        key_tag="1dev", place_coo=place_coo, place_vec=place_vec,
     )
-    vecs = vec_cache.get(vec_key)
-    if vecs is None:
-        vecs = {
-            k2: jnp.asarray(v)
-            for k2, v in prep_vecs_symmetric(
-                pre, item_map, tc, n_tiles_dev
-            ).items()
-        }
-        if len(vec_cache) >= 16:
-            vec_cache.pop(next(iter(vec_cache)))
-        vec_cache[vec_key] = vecs
     dev = {**dev_coo, **vecs}
 
     pvec = jnp.asarray(build_pvec(params, inv_scale))
