@@ -87,6 +87,11 @@ def main(argv=None):
                    help="dump a jax.profiler trace here")
     p.add_argument("--compute-dtype", default="auto",
                    choices=["auto", "float32", "bfloat16", "int8"])
+    p.add_argument("--precision", default="highest",
+                   choices=["default", "high", "highest"],
+                   help="float32 matmul precision; 'high' runs the fused "
+                        "kernel's split-bf16x3 mode (~2x HIGHEST, ~f32 "
+                        "accuracy)")
     args = p.parse_args(argv)
 
     info = system_info()
@@ -110,6 +115,7 @@ def main(argv=None):
             warmup=args.warmup,
             profile_dir=args.profile_dir,
             compute_dtype=args.compute_dtype,
+            precision=args.precision,
         )
         results.append(r)
         print(f"#   {r.mean_s:.2f}s ± {r.std_s:.2f} ({r.throughput_items_s:.0f} items/s)")

@@ -365,7 +365,12 @@ def execute_symmetric_sharded(
         # both carry planes must be k deep (they accumulate across the
         # whole sweep schedule — see pallas_kernels.sym_k_pads)
         k_pad = _round_up(min(k, C), 8)
-        if k_pad > 1024 or k_pad * tc > (1 << 20):
+        # hardware-measured VMEM boundary (v5e, SYM_TM=512): the col-side
+        # carry blocks cost ~8*k_pad*tc B of scoped VMEM io on top of a
+        # ~93 MB base; k_pad*tc = 1<<20 (k=256 @ tc=4096) failed remote
+        # compile at 117.95M/116M, k_pad*tc = 425984 (k=100) fits with
+        # ~20 MB margin. 768*1024 keeps >= 4 MB of headroom.
+        if k_pad > 1024 or k_pad * tc > 768 * 1024:
             use_pallas = False  # same documented cutover as symmetric.py
             f32x3 = False
             tc, gt, u_pad, dual = _plan(C, U, m2.nnz, compute_dtype, budget,

@@ -856,7 +856,12 @@ def execute_symmetric(
         k_pad = _round_up(min(k, C), 8)
         # cutover: extraction/merge cost scales with k_pad, and the
         # col-side carry block costs k_pad*tc*8 B of VMEM io per product
-        if k_pad > 1024 or k_pad * tc > (1 << 20):
+        # hardware-measured VMEM boundary (v5e, SYM_TM=512): the col-side
+        # carry blocks cost ~8*k_pad*tc B of scoped VMEM io on top of a
+        # ~93 MB base; k_pad*tc = 1<<20 (k=256 @ tc=4096) failed remote
+        # compile at 117.95M/116M, k_pad*tc = 425984 (k=100) fits with
+        # ~20 MB margin. 768*1024 keeps >= 4 MB of headroom.
+        if k_pad > 1024 or k_pad * tc > 768 * 1024:
             # one extraction pass per kept value: beyond ~1024 the XLA
             # sort-based top_k wins (same cutover as the general executor);
             # re-plan with the XLA path's score-block working set reserved
