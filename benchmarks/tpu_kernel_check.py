@@ -141,6 +141,25 @@ def main():
     os.environ["SIMILARIPY_TPU_SYM_TC"] = "2048"
     os.environ["SIMILARIPY_TPU_SYM_GT"] = "2"
 
+    def _with_env(key, val, call):
+        def run():
+            old = os.environ.get(key)
+            os.environ[key] = val
+            try:
+                return call()
+            finally:
+                if old is None:
+                    del os.environ[key]
+                else:
+                    os.environ[key] = old
+        return run
+
+    rng_sel = np.random.default_rng(1)
+    filt = sp.random_array((C, C), density=0.005, format="csr",
+                           dtype=np.float32, random_state=rng_sel)
+    tgt = sp.random_array((C, C), density=0.3, format="csr",
+                          dtype=np.float32, random_state=rng_sel)
+
     sym_variants = [
         ("sym cosine int8", lambda: sim.cosine(m, k=50, verbose=False), 0),
         ("sym dot int8", lambda: sim.dot_product(m, k=50, verbose=False), 0),
@@ -168,6 +187,21 @@ def main():
         ("sym rp3beta (refactored)",
          lambda: sim.rp3beta(m, alpha=0.7, beta=0.4, k=50, verbose=False),
          1e-5),
+        # split-bf16x3 f32-HIGH mode (3-phase K sweep; late round 2) —
+        # the XLA reference runs real bf16x3 too, so only summation order
+        # differs
+        ("sym cosine f32-high (bf16x3)",
+         lambda: sim.cosine(mf, k=50, compute_dtype="float32",
+                            precision="high", verbose=False), 1e-4),
+        ("sym tversky asym f32-high",
+         lambda: sim.tversky(mf, alpha=0.2, beta=0.9, k=50,
+                             compute_dtype="float32", precision="high",
+                             verbose=False), 1e-4),
+        # carry planes deeper than one tile (k > tc regression; the fused
+        # cutover keeps this on the kernel at tc=128)
+        ("sym k>tile-width int8",
+         _with_env("SIMILARIPY_TPU_SYM_TC", "128",
+                   lambda: sim.dot_product(m, k=200, verbose=False)), 0),
     ]
     gen_variants = [
         ("gen cosine int8 (target_rows)",
@@ -176,6 +210,14 @@ def main():
         ("gen cosine f32 (target_rows)",
          lambda: sim.cosine(mf, k=50, compute_dtype="float32", verbose=False,
                             target_rows=np.arange(0, C, 2)), 1e-5),
+        ("gen cosine f32-high (target_rows)",
+         lambda: sim.cosine(mf, k=50, compute_dtype="float32",
+                            precision="high", verbose=False,
+                            target_rows=np.arange(0, C, 2)), 1e-4),
+        # in-kernel carry merge + scatter-mask selectors (late round 2)
+        ("gen filter+target masks int8",
+         lambda: sim.cosine(m, m.T.tocsr(), k=50, filter_cols=filt,
+                            target_cols=tgt, verbose=False), 0),
     ]
     if quick:
         sym_variants = sym_variants[:2]

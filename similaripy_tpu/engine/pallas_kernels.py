@@ -65,9 +65,26 @@ def split_bf16x3(x, axis: int):
     hi@lo, the lo@lo term dropped) reproduces XLA's HIGH precision
     (bf16x3, ~f32 accuracy) at the bf16 MXU rate / 3 — measured ~1.9x
     faster than Mosaic's HIGHEST on v5e (170/3 vs 30 TFLOP/s) — while
-    keeping the fused epilogue + top-K. Same bytes as the f32 original."""
-    hi = x.astype(jnp.bfloat16)
-    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    keeping the fused epilogue + top-K. Same bytes as the f32 original.
+
+    The split masks the mantissa with INTEGER ops instead of the naive
+    `x - f32(bf16(x))`: under --xla_allow_excess_precision=true (set by
+    the TPU compile environment here) XLA elides the bf16 round-trip as
+    an identity and the naive lo computes to EXACTLY ZERO on hardware —
+    caught by benchmarks/tpu_kernel_check.py (rel jumped 1e-5 -> 2e-3,
+    the plain-bf16 signature). Masking the low 16 bits keeps precisely
+    the bf16-representable prefix (sign + 8 exp + 7 mantissa), so
+    hi == bf16(hi_f) exactly and lo = x - hi_f is exact in f32."""
+    xi = jax.lax.bitcast_convert_type(x, jnp.int32)
+    # +0x8000 then mask = round-half-up to the nearest bf16 (the integer
+    # carry propagates into the exponent exactly like hardware RN), which
+    # keeps |lo| <= 2^-9|x| — truncation alone would double lo and cost a
+    # bit of the recombined accuracy
+    hi_f = jax.lax.bitcast_convert_type(
+        (xi + (1 << 15)) & jnp.int32(-(1 << 16)), jnp.float32
+    )
+    hi = hi_f.astype(jnp.bfloat16)  # exact: value already bf16-rounded
+    lo = (x - hi_f).astype(jnp.bfloat16)
     return jnp.concatenate([hi, lo], axis=axis)
 
 
