@@ -49,7 +49,9 @@ from .preprocess import Preprocessed
 from .symmetric import (
     NEG_INF,
     _densify_lhs,
+    _densify_lhs_into,
     _densify_rhs_stack,
+    _densify_rhs_stack_into,
     _plan,
     _round_up,
     cached_prep_symmetric,
@@ -472,18 +474,36 @@ def execute_symmetric_sharded(
                   flush=True)
             _t_mark = now
 
-    def make_anchor(a: int):
+    def make_anchor(a: int, reuse=None):
+        # each pair's anchors densify INTO the retired pair's donated
+        # buffers (per device, since the stacks are replicated) — no
+        # device barrier between pairs and peak HBM stays at one pair's
+        # working set per device, same as the single-device executor
         t0, t1 = a * gt, (a + 1) * gt
-        densify_fn = _densify_rhs_stack if use_pallas else _densify_lhs
         if use_pallas:
-            lhs = densify_fn(
-                dev["ru"][t0:t1], dev["sl"][t0:t1], dev["vv"][t0:t1],
-                tc=tc, u_pad=u_pad, compute_dtype=compute_dtype, split=f32x3,
+            args = (dev["ru"][t0:t1], dev["sl"][t0:t1], dev["vv"][t0:t1])
+            lhs = (
+                _densify_rhs_stack_into(
+                    reuse, *args, tc=tc, u_pad=u_pad,
+                    compute_dtype=compute_dtype, split=f32x3,
+                )
+                if reuse is not None
+                else _densify_rhs_stack(
+                    *args, tc=tc, u_pad=u_pad,
+                    compute_dtype=compute_dtype, split=f32x3,
+                )
             )
         else:
-            lhs = densify_fn(
-                dev["sl"][t0:t1], dev["ru"][t0:t1], dev["vv"][t0:t1],
-                tc=tc, u_pad=u_pad, compute_dtype=compute_dtype,
+            args = (dev["sl"][t0:t1], dev["ru"][t0:t1], dev["vv"][t0:t1])
+            lhs = (
+                _densify_lhs_into(
+                    reuse, *args, tc=tc, u_pad=u_pad,
+                    compute_dtype=compute_dtype,
+                )
+                if reuse is not None
+                else _densify_lhs(
+                    *args, tc=tc, u_pad=u_pad, compute_dtype=compute_dtype,
+                )
             )
         return {
             "lhs": lhs,
@@ -514,8 +534,12 @@ def execute_symmetric_sharded(
     ]
     snapshots = []
     done_rows = 0
+    retired: list = []  # previous pair's lhs buffers, ready for donation
     for pi, pair in enumerate(pair_list):
-        anchors = [make_anchor(a) for a in pair]
+        anchors = [
+            make_anchor(a, reuse=retired.pop() if retired else None)
+            for a in pair
+        ]
         a0 = pair[0] * gt
         if len(pair) == 2:
             sweep(anchors[:1], a0, pair[1] * gt)  # band: first anchor only
@@ -534,6 +558,9 @@ def execute_symmetric_sharded(
         except Exception:
             pass
         snapshots.append((a0 * tc, size, packed))
+        retired = [a["lhs"] for a in anchors]
+        for a in anchors:
+            a["lhs"] = None  # host must not touch donated-away buffers
         if pi > 0:
             # materialize the PREVIOUS pair's packed rows: completes its d2h
             # under this pair's enqueued compute and bounds host run-ahead
