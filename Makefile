@@ -30,3 +30,8 @@ clean:
 
 test-pallas:
 	SIMILARIPY_TPU_USE_PALLAS=1 python -m pytest tests/ -q
+
+# real-TPU validation sweep of every fused-kernel family vs the XLA path
+# (re-run after ANY kernel edit — interpret mode misses Mosaic failures)
+kernel-check:
+	python benchmarks/tpu_kernel_check.py
