@@ -74,7 +74,14 @@ def split_bf16x3(x, axis: int):
     caught by benchmarks/tpu_kernel_check.py (rel jumped 1e-5 -> 2e-3,
     the plain-bf16 signature). Masking the low 16 bits keeps precisely
     the bf16-representable prefix (sign + 8 exp + 7 mantissa), so
-    hi == bf16(hi_f) exactly and lo = x - hi_f is exact in f32."""
+    hi == bf16(hi_f) exactly and lo = x - hi_f is exact in f32.
+
+    Domain assumption: finite inputs with |x| well below f32 max (similarity
+    operands are; the engine's preprocessing produces no inf/NaN). The
+    round-half-up carry (+0x8000) can overflow the exponent for finite
+    values within half a bf16 ulp of FLT_MAX (hi -> inf, lo -> NaN), and a
+    NaN payload is perturbed by the integer add — neither occurs in the
+    supported domain."""
     xi = jax.lax.bitcast_convert_type(x, jnp.int32)
     # +0x8000 then mask = round-half-up to the nearest bf16 (the integer
     # carry propagates into the exponent exactly like hardware RN), which
@@ -664,6 +671,13 @@ def _sym_kernel(
     TM divides tc, so tile(row) is constant within a block — the masks
     reduce to scalar program-id predicates, and the strictly-lower col
     merge is skipped entirely on diagonal blocks (pl.when).
+
+    Tie semantics: the threshold-adaptive pruning keeps strictly-greater
+    candidates (`val > kth`), so a candidate TYING the carried kth value may
+    resolve to a different (equal-valued) index than the XLA top_k path.
+    Values and check_sums are identical; index sets are not bit-identical
+    under ties — standard top-k semantics (the reference's heap breaks ties
+    by arrival order too, s_plus.h:45-59). Don't diff indices across paths.
 
     BOTH sides merge the global top-K carry in-kernel (the carry blocks
     arrive as regular inputs and leave merged through the outputs), so

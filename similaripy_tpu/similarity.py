@@ -331,7 +331,7 @@ def _p3_symmetric(
     denominator differently in the two formulations)."""
     import scipy.sparse as _sp
 
-    m = matrix1.tocsr() if not _sp.issparse(matrix1) else matrix1.tocsr()
+    m = matrix1.tocsr() if _sp.issparse(matrix1) else _sp.csr_matrix(matrix1)
     r = np.asarray(np.abs(m).sum(axis=1)).ravel().astype(np.float64)
     c = np.asarray(np.abs(m).sum(axis=0)).ravel().astype(np.float64)
     a_mat = m.astype(np.float64).copy()
@@ -385,9 +385,9 @@ def rp3beta(
     (reference: similarity.py:477-503). Self-similar shrink-free calls
     take the value-symmetric refactoring (see p3alpha)."""
     if matrix2 is None and shrink == 0 and not binary:
-        pop = np.asarray(np.abs(matrix1.T).sum(axis=0)).ravel().astype(
-            np.float32
-        )
+        # signed sum, matching the reference's pop_m2 = m2.sum(axis=0)
+        # (similarity.py:479) and the general path below
+        pop = np.asarray(matrix1.T.sum(axis=0)).ravel().astype(np.float32)
         return _p3_symmetric(
             matrix1, alpha, pop, beta, k, shrink, shrink_type, threshold,
             binary, target_rows, target_cols, filter_cols, verbose,

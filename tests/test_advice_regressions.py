@@ -88,6 +88,35 @@ def test_quantize_scale_rejects_near_integral_noise():
     assert quantize_scale(np.array([200.0], np.float32)) is None
 
 
+def test_rp3beta_negative_values_match_general_path():
+    # round-2 advisor: the value-symmetric rp3beta refactor computed item
+    # popularity as abs(m.T).sum(axis=0); the reference (similarity.py:479)
+    # and the general path use the SIGNED sum. Negative data is degenerate
+    # for p3 but the two paths must agree. alpha=beta=1 keeps the powers
+    # defined on signed data.
+    rng = np.random.default_rng(7)
+    m = sp.random_array((40, 25), density=0.25, format="csr",
+                        dtype=np.float32, random_state=rng)
+    m.data = np.round(m.data * 4 - 1.0) + 0.5  # mix of signs, half-steps
+    sym = sim.rp3beta(m, alpha=1.0, beta=1.0, k=25, verbose=VERBOSE).tocsr()
+    gen = sim.rp3beta(m, matrix2=m.T.tocsr(), alpha=1.0, beta=1.0, k=25,
+                      verbose=VERBOSE).tocsr()
+    np.testing.assert_allclose(sym.toarray(), gen.toarray(),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_p3_symmetric_accepts_dense_input():
+    # round-2 advisor: the non-sparse branch called .tocsr() on a dense
+    # array (AttributeError); it must convert via csr_matrix instead
+    rng = np.random.default_rng(8)
+    dense = rng.random((12, 8)).astype(np.float32)
+    dense[dense < 0.6] = 0.0
+    out_d = sim.p3alpha(dense, alpha=1.0, k=8, verbose=VERBOSE).tocsr()
+    out_s = sim.p3alpha(sp.csr_array(dense), alpha=1.0, k=8,
+                        verbose=VERBOSE).tocsr()
+    np.testing.assert_allclose(out_d.toarray(), out_s.toarray(), rtol=1e-5)
+
+
 def test_depop_scalar_raises_value_error():
     m = sp.identity(4, format="csr", dtype=np.float32)
     with pytest.raises(ValueError, match="weight_depop_matrix1"):
