@@ -35,3 +35,8 @@ test-pallas:
 # (re-run after ANY kernel edit — interpret mode misses Mosaic failures)
 kernel-check:
 	python benchmarks/tpu_kernel_check.py
+
+# perf-regression gate: fresh quick bench vs the latest same-backend
+# report, fail on >10% throughput drop (bootstrap-pass when none exists)
+bench-gate:
+	python benchmarks/bench_gate.py

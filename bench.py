@@ -70,6 +70,49 @@ def _sample_recall(item_user, result, k: int, n_sample: int, seed: int = 1):
     return hits / max(total, 1)
 
 
+def ensure_kernel_stamp():
+    """Refuse to benchmark an unswept Pallas kernel on real TPU.
+
+    A kernel edit invalidates the last hardware validation sweep
+    (benchmarks/tpu_kernel_check.py; interpret mode misses Mosaic
+    failures). When the sweep stamp is stale, run the quick sweep in a
+    subprocess first — it updates the stamp on success and aborts the
+    benchmark on failure, so no recorded number ever comes from an
+    unvalidated kernel. SIMILARIPY_BENCH_SKIP_KERNEL_GUARD=1 bypasses.
+    """
+    if os.environ.get("SIMILARIPY_BENCH_SKIP_KERNEL_GUARD") == "1":
+        return
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from benchmarks.kernel_stamp import stamp_is_current
+
+    if stamp_is_current():
+        return
+    print(
+        "# kernel sources changed since the last hardware sweep — running "
+        "the quick tpu_kernel_check before timing (minutes; compiles "
+        "dominate)",
+        file=sys.stderr, flush=True,
+    )
+    import subprocess
+
+    env = dict(os.environ)
+    env["SIMILARIPY_KC_QUICK"] = "1"
+    proc = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "benchmarks", "tpu_kernel_check.py")],
+        env=env,
+    )
+    if proc.returncode != 0:
+        print("# kernel sweep FAILED — refusing to benchmark an invalid "
+              "kernel", file=sys.stderr, flush=True)
+        sys.exit(1)
+
+
 def main():
     scale = float(os.environ.get("SIMILARIPY_BENCH_SCALE", "1.0"))
     rounds = int(os.environ.get("SIMILARIPY_BENCH_ROUNDS", "3"))
@@ -81,6 +124,8 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+    ensure_kernel_stamp()
 
     import similaripy_tpu as sim
     from similaripy_tpu.utils.synth import (

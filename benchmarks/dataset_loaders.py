@@ -72,20 +72,15 @@ def _download_movielens(name: str, data_dir: str = "data") -> Optional[str]:
     return ratings
 
 
-def _download_yambda(name: str, data_dir: str = "data") -> Optional[sp.csr_array]:
-    """Yambda from HuggingFace, binarized to 1s like the reference
-    (reference: tests/benchmarks/dataset_loaders.py:137-232)."""
-    if not _has_egress():
-        return None
-    try:
-        from huggingface_hub import hf_hub_download
-        import pyarrow.parquet as pq
-    except ImportError:
-        return None
-    path = hf_hub_download(
-        repo_id=_YAMBDA_REPO, filename=YAMBDA_FILES[name],
-        repo_type="dataset", local_dir=os.path.join(data_dir, name),
-    )
+def _from_parquet(path: str) -> sp.csr_array:
+    """Yambda-format parquet (uid/item_id event log) -> binarized URM.
+
+    Mirrors the reference's Yambda handling (reference:
+    tests/benchmarks/dataset_loaders.py:137-232): ids are remapped to
+    dense 0..n ranges, duplicate (user, item) events collapse to a single
+    1.0 interaction."""
+    import pyarrow.parquet as pq
+
     tbl = pq.read_table(path, columns=["uid", "item_id"])
     uids = tbl["uid"].to_numpy()
     iids = tbl["item_id"].to_numpy()
@@ -98,6 +93,22 @@ def _download_yambda(name: str, data_dir: str = "data") -> Optional[sp.csr_array
     urm.sum_duplicates()
     urm.data[:] = 1.0  # binarized interactions
     return urm
+
+
+def _download_yambda(name: str, data_dir: str = "data") -> Optional[sp.csr_array]:
+    """Yambda from HuggingFace, binarized to 1s like the reference
+    (reference: tests/benchmarks/dataset_loaders.py:137-232)."""
+    if not _has_egress():
+        return None
+    try:
+        from huggingface_hub import hf_hub_download
+    except ImportError:
+        return None
+    path = hf_hub_download(
+        repo_id=_YAMBDA_REPO, filename=YAMBDA_FILES[name],
+        repo_type="dataset", local_dir=os.path.join(data_dir, name),
+    )
+    return _from_parquet(path)
 
 # (n_users, n_items, nnz) of the datasets the reference benchmarks on
 DATASETS = {
@@ -125,14 +136,22 @@ def _from_npz(path: str) -> sp.csr_array:
     return sp.csr_array(m.tocsr())
 
 
+def load_file(path: str) -> sp.csr_array:
+    """Parse a local ratings file by extension: .npz sparse matrix,
+    .parquet Yambda event log, anything else a MovieLens-format CSV."""
+    if path.endswith(".npz"):
+        return _from_npz(path)
+    if path.endswith(".parquet"):
+        return _from_parquet(path)
+    return _from_csv(path)
+
+
 def load_urm(
     name: str, data_path: Optional[str] = None, seed: int = 0
 ) -> tuple[sp.csr_array, str]:
     """Resolve a dataset by name; returns (URM, provenance string)."""
     if data_path:
-        if data_path.endswith(".npz"):
-            return _from_npz(data_path), f"file:{data_path}"
-        return _from_csv(data_path), f"file:{data_path}"
+        return load_file(data_path), f"file:{data_path}"
 
     local_dir = os.path.join("data", name)
     if os.path.isdir(local_dir):
@@ -140,10 +159,10 @@ def load_urm(
             p = os.path.join(local_dir, fname)
             if os.path.exists(p):
                 return _from_npz(p), f"file:{p}"
-        for fname in ("ratings.csv",):
+        for fname in ("ratings.csv", "multi_event.parquet"):
             p = os.path.join(local_dir, fname)
             if os.path.exists(p):
-                return _from_csv(p), f"file:{p}"
+                return load_file(p), f"file:{p}"
 
     if name not in DATASETS:
         raise ValueError(

@@ -54,6 +54,10 @@ def write_reports(results, args, info, provenance, out_dir):
     os.makedirs(out_dir, exist_ok=True)
     stamp = datetime.now(timezone.utc).strftime("%Y%m%d_%H%M%S")
     base = os.path.join(out_dir, f"benchmark_{args.dataset}_{stamp}")
+    n = 1
+    while os.path.exists(base + ".json"):  # same-second runs must not clobber
+        n += 1
+        base = os.path.join(out_dir, f"benchmark_{args.dataset}_{stamp}_{n}")
     payload = {
         "dataset": args.dataset,
         "provenance": provenance,

@@ -258,6 +258,12 @@ def main():
         sys.exit(1)
     print("all kernel variants match", flush=True)
 
+    if jax.default_backend() == "tpu":
+        from benchmarks.kernel_stamp import write_stamp
+
+        write_stamp("quick" if quick else "full", jax.default_backend())
+        print("kernel_check.stamp updated", flush=True)
+
 
 if __name__ == "__main__":
     main()

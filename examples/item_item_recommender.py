@@ -160,6 +160,10 @@ def visualize_item_space(train_w, W, out_path: str, seed: int = 5):
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data-path", default=None, metavar="FILE",
+                   help="ratings file (MovieLens-format .csv, Yambda-format "
+                        ".parquet, or .npz sparse matrix) instead of "
+                        "synthetic data")
     p.add_argument("--users", type=int, default=20_000)
     p.add_argument("--items", type=int, default=4_000)
     p.add_argument("--nnz", type=int, default=400_000)
@@ -172,8 +176,20 @@ def main(argv=None):
                    help="write a 2-D item-space visualization here")
     args = p.parse_args(argv)
 
-    print(f"building synthetic URM ({args.users}x{args.items}, nnz={args.nnz})...")
-    urm = synthetic_urm(n_users=args.users, n_items=args.items, nnz=args.nnz)
+    if args.data_path:
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        from benchmarks.dataset_loaders import load_file
+
+        print(f"loading ratings from {args.data_path}...")
+        urm = load_file(args.data_path)
+    else:
+        print(f"building synthetic URM ({args.users}x{args.items}, "
+              f"nnz={args.nnz})...")
+        urm = synthetic_urm(n_users=args.users, n_items=args.items,
+                            nnz=args.nnz)
     # drop empty users/items for a denser eval
     keep_u = np.diff(urm.indptr) >= 5
     urm = sp.csr_array(urm[keep_u])

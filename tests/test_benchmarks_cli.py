@@ -91,6 +91,66 @@ def test_compare_list_and_latest(tmp_path, capsys):
     assert "[B]" in out and "[C]" in out
 
 
+def test_bench_gate_end_to_end(tmp_path, capsys):
+    """bench_gate: bootstrap pass -> same-machine compare pass -> a forged
+    faster baseline trips the regression gate."""
+    import scipy.sparse as sp
+
+    import bench_gate
+
+    rng = np.random.default_rng(5)
+    m = sp.random_array((300, 120), density=0.1, format="csr",
+                        dtype=np.float32, random_state=rng)
+    npz = tmp_path / "urm.npz"
+    sp.save_npz(str(npz), sp.csr_matrix(m))
+    out_dir = str(tmp_path / "reports")
+    gate_args = [
+        "--dataset", "synthetic_small", "--data-path", str(npz),
+        "--similarities", "dot_product", "--k", "10", "--rounds", "1",
+        "--warmup", "0", "--output-dir", out_dir,
+    ]
+    # 1) no prior report: bootstrap pass
+    assert bench_gate.main(gate_args) == 0
+    assert "bootstrap" in capsys.readouterr().out
+    # 2) prior report exists, same machine: compared, passes
+    assert bench_gate.main(gate_args) == 0
+    assert "comparing against" in capsys.readouterr().out
+    # 3) forge the latest baseline 100x faster: the fresh run regresses
+    import glob
+
+    latest = sorted(glob.glob(os.path.join(out_dir, "*.json")))[-1]
+    rep = json.load(open(latest))
+    for r in rep["results"]:
+        r["mean_s"] /= 100.0
+        r["throughput_items_s"] *= 100.0
+    with open(latest, "w") as f:
+        json.dump(rep, f)
+    assert bench_gate.main(gate_args) == 1
+    assert "REGRESSION" in capsys.readouterr().out
+    # 4) different backend class is never compared (no false CI failures)
+    for p in glob.glob(os.path.join(out_dir, "*.json")):
+        rep = json.load(open(p))
+        rep["system"]["backend"] = "other"
+        with open(p, "w") as f:
+            json.dump(rep, f)
+    assert bench_gate.main(gate_args) == 0
+    assert "bootstrap" in capsys.readouterr().out
+
+
+def test_kernel_stamp_tracks_source_hash(tmp_path, monkeypatch):
+    import kernel_stamp as ks
+
+    monkeypatch.setattr(ks, "STAMP_PATH", str(tmp_path / "kc.stamp"))
+    assert not ks.stamp_is_current()  # no stamp yet
+    ks.write_stamp("quick", "tpu")
+    assert ks.stamp_is_current()
+    st = ks.read_stamp()
+    assert st["mode"] == "quick" and st["backend"] == "tpu"
+    # a kernel-source edit invalidates the stamp
+    monkeypatch.setattr(ks, "kernel_hash", lambda: "deadbeef")
+    assert not ks.stamp_is_current()
+
+
 def test_egress_probe_is_fast():
     import time
 
