@@ -385,15 +385,19 @@ def _run_sharded_group(
       d_stack, tiles, pvec, carry_vals, carry_idx)
 
 
-@partial(jax.jit, static_argnames=("mesh", "k", "planes"))
+@partial(jax.jit, static_argnames=("mesh", "k", "planes", "replicate"))
 def _merge_cols(carry_vals, carry_idx, *, mesh: Mesh, k: int,
-                planes: bool = False):
+                planes: bool = False, replicate: bool = False):
     """Final distributed top-K merge: gather every col-shard's local k and
     re-select (the distributed replacement for the reference's per-thread
     heap drain, s_plus.h:39-64). With `planes` the local carry arrives as
     sorted (k_pad, trp) fused-kernel planes and is sliced to (trp, k)
-    first; k here is already min(k, k_pad)."""
+    first; k here is already min(k, k_pad). With `replicate` the result is
+    additionally all-gathered over 'rows' so it is fully replicated —
+    required when the mesh spans multiple processes (a host can only
+    np.asarray addressable or replicated arrays)."""
     has_cols = "cols" in mesh.axis_names
+    has_rows = "rows" in mesh.axis_names
 
     def block_fn(cv, ci):
         v, i = cv[0, 0], ci[0, 0]
@@ -405,14 +409,20 @@ def _merge_cols(carry_vals, carry_idx, *, mesh: Mesh, k: int,
             ai = jax.lax.all_gather(i, "cols", axis=1, tiled=True)
             v, pos = jax.lax.top_k(av, k)
             i = jnp.take_along_axis(ai, pos, axis=1)
+        if replicate and has_rows:
+            return (
+                jax.lax.all_gather(v, "rows", axis=0, tiled=False),
+                jax.lax.all_gather(i, "rows", axis=0, tiled=False),
+            )
         return v[None], i[None]
 
     col_ax = "cols" if has_cols else None
+    out_row_ax = None if (replicate and has_rows) else "rows"
     return jax.shard_map(
         block_fn,
         mesh=mesh,
         in_specs=(P("rows", col_ax, None, None), P("rows", col_ax, None, None)),
-        out_specs=(P("rows", None, None), P("rows", None, None)),
+        out_specs=(P(out_row_ax, None, None), P(out_row_ax, None, None)),
         check_vma=False,
     )(carry_vals, carry_idx)
 
@@ -697,15 +707,24 @@ def _execute_sharded_grouped(
         if n_groups > 1:
             # barrier: don't queue the next group's densify behind all of
             # this group's work (HBM would hold two dense stacks)
-            np.asarray(carries[0][0].ravel()[:1])
+            if jax.process_count() > 1:
+                # cannot fetch a cross-process array; local completion of
+                # this process's shards is the same backpressure
+                jax.block_until_ready(carries[0][0])
+            else:
+                np.asarray(carries[0][0].ravel()[:1])
         del d_stack
 
+    # multi-process meshes need the merged output replicated (each process
+    # can only fetch its addressable shards); single-process keeps the
+    # cheaper row-sharded readback
+    replicate = jax.process_count() > 1
     k_out = min(k, k_pad) if use_pallas else k
     out_vals = np.full((T, k), NEG_INF, np.float32)
     out_idx = np.zeros((T, k), np.int32)
     for b in range(n_batches):
         vals, idx = _merge_cols(*carries[b], mesh=mesh, k=k_out,
-                                planes=use_pallas)
+                                planes=use_pallas, replicate=replicate)
         vals = np.asarray(vals)
         idx = np.asarray(idx)
         done = 0
