@@ -59,6 +59,83 @@ from .symmetric import (
 )
 
 
+def _pair_schedule(n_groups: int, dual: bool) -> list:
+    """Anchor-pair processing order (shared by executor and anatomy)."""
+    return [
+        (a, a + 1) if dual and a + 1 < n_groups else (a,)
+        for a in range(0, n_groups, 2 if dual else 1)
+    ]
+
+
+def _sweep_windows(pair: tuple, gt: int, n_tiles_dev: int) -> list:
+    """(n_anchors, c0, c1) sweep windows of one pair: a dual pair sweeps
+    its band with the first anchor only, then everything right of it with
+    both (shared by the executor loop and schedule_anatomy)."""
+    a0 = pair[0] * gt
+    if len(pair) == 2:
+        return [(1, a0, pair[1] * gt), (2, pair[1] * gt, n_tiles_dev)]
+    return [(len(pair), a0, n_tiles_dev)]
+
+
+def schedule_anatomy(
+    C: int,
+    U: int,
+    nnz: int,
+    *,
+    N: int,
+    compute_dtype: str = "int8",
+    budget: Optional[int] = None,
+    use_pallas: bool = True,
+    cs: int = 1,
+) -> dict:
+    """Per-device work counts of the sharded symmetric schedule at mesh
+    size N — the evidence behind docs/distributed.md's scaling table.
+
+    Replays the executor's own pair/window loop (via _pair_schedule /
+    _sweep_windows, the same helpers execute_symmetric_sharded iterates)
+    and counts, for each device: live MXU block products, inner-tile
+    scatters, dead padding-tile steps, plus the replicated anchor-densify
+    count and per-pair pack collectives. A block product is one
+    (gt*tc x tc) fused-kernel invocation; an inner scatter is one
+    (u_pad, tc) tile densify."""
+    if budget is None:
+        budget = hbm_budget_bytes()
+    tc, gt, u_pad, dual = _plan(C, U, nnz, compute_dtype, budget, use_pallas)
+    n_tiles = math.ceil(C / tc)
+    n_groups = math.ceil(n_tiles / gt)
+    n_tiles_dev = n_groups * gt
+    chunk = N * cs
+
+    products = [0] * N
+    scatters = [0] * N
+    padded_steps = [0] * N
+    pair_list = _pair_schedule(n_groups, dual)
+    for pair in pair_list:
+        for n_anchors, c0, c1 in _sweep_windows(pair, gt, n_tiles_dev):
+            for s in range(c0, c1, chunk):
+                for d in range(N):
+                    t0 = s + d * cs
+                    live = max(0, min(t0 + cs, c1) - min(t0, c1))
+                    products[d] += live * n_anchors
+                    scatters[d] += live
+                    padded_steps[d] += cs - live
+    return {
+        "N": N,
+        "tc": tc,
+        "gt": gt,
+        "u_pad": u_pad,
+        "dual": dual,
+        "n_tiles_dev": n_tiles_dev,
+        "n_pairs": len(pair_list),
+        "pack_collectives": len(pair_list),
+        # every device densifies every anchor group (replicated term)
+        "anchor_densifies_per_device": n_tiles_dev,
+        "products_per_device": products,
+        "scatters_per_device": scatters,
+        "padded_steps_per_device": padded_steps,
+    }
+
+
 def _mesh_axes(mesh: Mesh) -> tuple[tuple, int]:
     """All mesh axis names (flattened into one logical sweep axis) + size."""
     axes = tuple(mesh.axis_names)
@@ -528,10 +605,7 @@ def execute_symmetric_sharded(
                 use_pallas=use_pallas, asym=asym, f32x3=f32x3,
             )
 
-    pair_list = [
-        (a, a + 1) if dual and a + 1 < n_groups else (a,)
-        for a in range(0, n_groups, 2 if dual else 1)
-    ]
+    pair_list = _pair_schedule(n_groups, dual)
     snapshots = []
     done_rows = 0
     retired: list = []  # previous pair's lhs buffers, ready for donation
@@ -541,11 +615,8 @@ def execute_symmetric_sharded(
             for a in pair
         ]
         a0 = pair[0] * gt
-        if len(pair) == 2:
-            sweep(anchors[:1], a0, pair[1] * gt)  # band: first anchor only
-            sweep(anchors, pair[1] * gt, n_tiles_dev)
-        else:
-            sweep(anchors, a0, n_tiles_dev)
+        for n_anchors, c0, c1 in _sweep_windows(pair, gt, n_tiles_dev):
+            sweep(anchors[:n_anchors], c0, c1)
         size = len(pair) * sw
         packed = _pack_rows_sharded(
             carry, jnp.int32(a0 * tc),
