@@ -30,7 +30,11 @@ import sys
 import time
 
 os.environ.setdefault("SIMILARIPY_TPU_TIMING", "0")
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 

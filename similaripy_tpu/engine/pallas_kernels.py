@@ -56,6 +56,12 @@ DEFAULT_TC = int(os.environ.get("SIMILARIPY_TPU_TC", 4096))  # column-tile width
 # 10.35 s at 256, medians within tunnel jitter — kept at 512 for the
 # better tail; still fits the 16 MB scoped VMEM.
 SYM_TM = int(os.environ.get("SIMILARIPY_TPU_SYM_TM", 512))
+# scoped-VMEM limit passed to the Mosaic compiler (v5e has 128 MB physical;
+# the AOT compile path honors this parameter — measured boundaries in
+# CLAUDE.md). SYM_TM=1024 needs ~105 MB, over the former 100 MB default.
+VMEM_LIMIT = (
+    int(os.environ.get("SIMILARIPY_TPU_VMEM_LIMIT_MB", 100)) * 1024 * 1024
+)
 
 
 def split_bf16x3(x, axis: int):
@@ -493,7 +499,7 @@ def fused_panel_topk(
             jax.ShapeDtypeStruct((n_tiles, k_pad, TM), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=VMEM_LIMIT,
         ),
         interpret=interpret,
     )(pvec_ext.reshape(1, 16), *args)
@@ -628,7 +634,7 @@ def fused_tile_topk(
             # the default 16 MB scoped-vmem limit rejects the tc=4096
             # working set (xy accumulator + double-buffered D blocks);
             # v5e has 128 MB of physical VMEM
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=VMEM_LIMIT,
         ),
         interpret=interpret,
     )(pvec_ext.reshape(1, 16), *args)
@@ -1056,7 +1062,7 @@ def fused_sym_topk(
             jax.ShapeDtypeStruct((k_pad_c, tc), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=VMEM_LIMIT,
         ),
         interpret=interpret,
     )(

@@ -551,36 +551,41 @@ def execute_symmetric_sharded(
                   flush=True)
             _t_mark = now
 
+    from .executor import compute_cast as _cc
+
+    _cdt_store = _cc(compute_dtype)[0]
+
+    def fresh_arena():
+        # replicated zeros matching the densify output so the first pair
+        # also runs the donated-arena program (only the `_into` variants
+        # compile; the buffer becomes the pair's resident stack — see
+        # symmetric.py). Replication must be explicit: each device memsets
+        # locally, and multi-process meshes reject uncommitted inputs.
+        if use_pallas and f32x3:
+            shape, dt = (gt, 2 * u_pad, tc), jnp.bfloat16
+        else:
+            shape = (gt, u_pad, tc) if use_pallas else (gt, tc, u_pad)
+            dt = _cdt_store
+        return jax.jit(
+            partial(jnp.zeros, shape, dt), out_shardings=repl
+        )()
+
     def make_anchor(a: int, reuse=None):
         # each pair's anchors densify INTO the retired pair's donated
         # buffers (per device, since the stacks are replicated) — no
         # device barrier between pairs and peak HBM stays at one pair's
         # working set per device, same as the single-device executor
         t0, t1 = a * gt, (a + 1) * gt
+        arena = reuse if reuse is not None else fresh_arena()
         if use_pallas:
-            args = (dev["ru"][t0:t1], dev["sl"][t0:t1], dev["vv"][t0:t1])
-            lhs = (
-                _densify_rhs_stack_into(
-                    reuse, *args, tc=tc, u_pad=u_pad,
-                    compute_dtype=compute_dtype, split=f32x3,
-                )
-                if reuse is not None
-                else _densify_rhs_stack(
-                    *args, tc=tc, u_pad=u_pad,
-                    compute_dtype=compute_dtype, split=f32x3,
-                )
+            lhs = _densify_rhs_stack_into(
+                arena, dev["ru"][t0:t1], dev["sl"][t0:t1], dev["vv"][t0:t1],
+                tc=tc, u_pad=u_pad, compute_dtype=compute_dtype, split=f32x3,
             )
         else:
-            args = (dev["sl"][t0:t1], dev["ru"][t0:t1], dev["vv"][t0:t1])
-            lhs = (
-                _densify_lhs_into(
-                    reuse, *args, tc=tc, u_pad=u_pad,
-                    compute_dtype=compute_dtype,
-                )
-                if reuse is not None
-                else _densify_lhs(
-                    *args, tc=tc, u_pad=u_pad, compute_dtype=compute_dtype,
-                )
+            lhs = _densify_lhs_into(
+                arena, dev["sl"][t0:t1], dev["ru"][t0:t1], dev["vv"][t0:t1],
+                tc=tc, u_pad=u_pad, compute_dtype=compute_dtype,
             )
         return {
             "lhs": lhs,

@@ -463,7 +463,7 @@ def _bin_tiles_mxu(t_users, t_slots, t_vals, u_pad: int, tc: int,
     static_argnames=(
         "flags", "k", "gt", "tc", "u_pad", "cs", "n_anchors",
         "compute_dtype", "precision", "use_pallas", "mxu",
-        "anchor_inner", "prefill", "asym", "f32x3",
+        "prefill", "asym", "f32x3",
     ),
     donate_argnums=(2, 3),
 )
@@ -473,6 +473,11 @@ def _sweep_chunk(
     carry,  # donated; pallas: (crv, cri, ccv, cci) (k_pad_*, Cdev) planes,
     #         xla: (cv, ci) (Cdev, k)
     parena,  # donated (gt, u_pad, tc) arena when prefilling, else (1,) dummy
+    sel,  # i32 scalar: anchor index whose resident stack holds this chunk's
+    #      inner tiles (sliced instead of re-scattered), or n_anchors to
+    #      densify from COO. Traced so every chunk of a sweep shares ONE
+    #      compiled program per n_anchors (remote compiles are minutes;
+    #      three static variants cost three of them)
     pvec,
     *,
     flags: tuple,
@@ -486,7 +491,6 @@ def _sweep_chunk(
     precision: str,
     use_pallas: bool,
     mxu: bool = False,
-    anchor_inner: int = -1,
     prefill: bool = False,
     asym: bool = False,
     f32x3: bool = False,
@@ -525,26 +529,35 @@ def _sweep_chunk(
     def step(state, xs):
         carry, parena = state
         t = xs["tid"]  # global tile index, i32 scalar
-        if anchor_inner >= 0:
-            # this chunk's inner tiles ARE an anchor's tiles: slice the
-            # resident rhs-oriented stack instead of re-scattering
-            aa = anchors[anchor_inner]
-            d = jax.lax.dynamic_index_in_dim(
-                aa["lhs"], t - aa["a0"], axis=0, keepdims=False
-            )
-        elif mxu:
-            from .pallas_kernels import mxu_scatter
 
-            d = mxu_scatter(
-                xs["ps"], xs["vv"], xs["cnt"], u_pad=u_pad, tc=tc,
-                out_dtype=cdt, interpret=interpret,
-            )
-        else:
+        def densify_tile():
+            if mxu:
+                from .pallas_kernels import mxu_scatter
+
+                return mxu_scatter(
+                    xs["ps"], xs["vv"], xs["cnt"], u_pad=u_pad, tc=tc,
+                    out_dtype=cdt, interpret=interpret,
+                )
             d = densify((u_pad, tc), xs["ru"], xs["sl"], xs["vv"], cdt)
             if f32x3:
                 from .pallas_kernels import split_bf16x3
 
                 d = split_bf16x3(d, axis=0)
+            return d
+
+        if use_pallas:
+            # chunks over an anchor's own tiles slice its resident
+            # rhs-oriented stack instead of re-scattering; `sel` picks the
+            # branch at runtime so one program serves the whole sweep
+            branches = [
+                (lambda aa=aa: jax.lax.dynamic_index_in_dim(
+                    aa["lhs"], t - aa["a0"], axis=0, keepdims=False
+                ))
+                for aa in anchors
+            ] + [densify_tile]
+            d = jax.lax.switch(sel, branches)
+        else:
+            d = densify_tile()
         if prefill:
             # this chunk's tiles are the NEXT pair's anchors: keep the
             # freshly scattered rhs tile resident, retiring its re-scatter
@@ -963,37 +976,32 @@ def execute_symmetric(
                   flush=True)
             _t_mark = now
 
+    def fresh_arena():
+        """Zeros matching the densify output, so the FIRST pair also runs
+        the donated-arena program: only the `_into` variants ever compile
+        (one remote compile instead of two), and the buffer becomes the
+        pair's resident anchor stack — nothing is wasted."""
+        if use_pallas and f32x3:
+            return jnp.zeros((gt, 2 * u_pad, tc), jnp.bfloat16)
+        shape = (gt, u_pad, tc) if use_pallas else (gt, tc, u_pad)
+        return jnp.zeros(shape, _cdt_store)
+
     def make_anchor(a: int, reuse=None):
         t0, t1 = a * gt, (a + 1) * gt
+        arena = reuse if reuse is not None else fresh_arena()
         if mxu:
-            args = (dev["ps"][t0:t1], dev["vv"][t0:t1], dev["cnt"][t0:t1])
-            if reuse is not None:
-                lhs = _densify_anchor_mxu_into(
-                    reuse, *args, tc=tc, u_pad=u_pad,
-                    compute_dtype=compute_dtype,
-                )
-            else:
-                lhs = _densify_anchor_mxu(
-                    *args, tc=tc, u_pad=u_pad, compute_dtype=compute_dtype
-                )
-        elif use_pallas and reuse is not None:
-            lhs = _densify_rhs_stack_into(
-                reuse, dev["ru"][t0:t1], dev["sl"][t0:t1], dev["vv"][t0:t1],
-                tc=tc, u_pad=u_pad, compute_dtype=compute_dtype, split=f32x3,
-            )
-        elif use_pallas:
-            lhs = _densify_rhs_stack(
-                dev["ru"][t0:t1], dev["sl"][t0:t1], dev["vv"][t0:t1],
-                tc=tc, u_pad=u_pad, compute_dtype=compute_dtype, split=f32x3,
-            )
-        elif reuse is not None:
-            lhs = _densify_lhs_into(
-                reuse, dev["sl"][t0:t1], dev["ru"][t0:t1], dev["vv"][t0:t1],
+            lhs = _densify_anchor_mxu_into(
+                arena, dev["ps"][t0:t1], dev["vv"][t0:t1], dev["cnt"][t0:t1],
                 tc=tc, u_pad=u_pad, compute_dtype=compute_dtype,
             )
+        elif use_pallas:
+            lhs = _densify_rhs_stack_into(
+                arena, dev["ru"][t0:t1], dev["sl"][t0:t1], dev["vv"][t0:t1],
+                tc=tc, u_pad=u_pad, compute_dtype=compute_dtype, split=f32x3,
+            )
         else:
-            lhs = _densify_lhs(
-                dev["sl"][t0:t1], dev["ru"][t0:t1], dev["vv"][t0:t1],
+            lhs = _densify_lhs_into(
+                arena, dev["sl"][t0:t1], dev["ru"][t0:t1], dev["vv"][t0:t1],
                 tc=tc, u_pad=u_pad, compute_dtype=compute_dtype,
             )
         if timing_sync:
@@ -1052,11 +1060,12 @@ def execute_symmetric(
             arena = pf_map.pop(g) if pf else _dummy[0]
             chunk = {name: dev[name][s : s + gt] for name in chunk_names}
             carry, arena = _sweep_chunk(
-                tuple(anchors), chunk, carry, arena, pvec,
+                tuple(anchors), chunk, carry, arena,
+                jnp.int32(ai if ai >= 0 else len(anchors)), pvec,
                 flags=flags, k=k_kern, gt=gt, tc=tc, u_pad=u_pad,
                 cs=gt, n_anchors=len(anchors),
                 compute_dtype=compute_dtype, precision=precision,
-                use_pallas=use_pallas, mxu=mxu, anchor_inner=ai,
+                use_pallas=use_pallas, mxu=mxu,
                 prefill=pf, asym=asym, f32x3=f32x3,
             )
             if pf:
@@ -1085,6 +1094,7 @@ def execute_symmetric(
     done_rows = 0
     retired: list = []  # previous pair's lhs buffers, ready for donation
     filled_prev: dict = {}  # group -> prefilled anchor stack
+    prev_packed: list = []  # previous pair's packed rows (readback throttle)
     for pi, pair in enumerate(pair_list):
         anchors = []
         for a in pair:
@@ -1127,26 +1137,35 @@ def execute_symmetric(
         else:
             sweep(anchors, list(pair), a0, n_tiles_dev, pf_map, filled)
         filled_prev = filled
-        size = len(pair) * sw
-        if use_pallas:
-            packed = _pack_rows_dual(
-                *carry, jnp.int32(a0 * tc), size=size,
-                k=min(k, k_pad_r + k_pad_c),
-            )
-        else:
-            packed = _pack_rows(*carry, jnp.int32(a0 * tc), size=size)
-        try:
-            packed.copy_to_host_async()
-        except Exception:
-            pass  # backend without async copies: np.asarray below still works
-        snapshots.append((a0 * tc, size, packed))
+        # pack per anchor GROUP (size sw, constant): a dual pair packs as
+        # two calls of identical shape, so the whole run compiles ONE pack
+        # program instead of one per pair width (remote compiles are
+        # minutes each)
+        pair_packed = []
+        for g_a in pair:
+            start_rows = g_a * sw
+            if use_pallas:
+                packed = _pack_rows_dual(
+                    *carry, jnp.int32(start_rows), size=sw,
+                    k=min(k, k_pad_r + k_pad_c),
+                )
+            else:
+                packed = _pack_rows(*carry, jnp.int32(start_rows), size=sw)
+            try:
+                packed.copy_to_host_async()
+            except Exception:
+                pass  # backend without async copies: np.asarray still works
+            pair_packed.append(packed)
+            snapshots.append((start_rows, sw, packed))
         retired = [a["lhs"] for a in anchors]
         for a in anchors:
             a["lhs"] = None  # host must not touch donated-away buffers
         if pi > 0:
             # materialize the PREVIOUS pair's packed rows: completes its d2h
             # under this pair's enqueued compute and bounds host run-ahead
-            np.asarray(snapshots[pi - 1][2])
+            for prev in prev_packed:
+                np.asarray(prev)
+        prev_packed = pair_packed
         if timing:
             _lap(f"pair {pair} sweep")
         if progress is not None and pi > 0:
