@@ -148,8 +148,29 @@ def main():
         synthetic_urm,
     )
 
+    # the deterministic synthetic URM costs 50-120s to generate; cache it
+    # on disk keyed by scale (same generator + seed -> same matrix)
+    cache_npz = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f".bench_data_{scale}.npz",
+    )
     t0 = time.perf_counter()
-    urm = synthetic_urm(nnz=int(ML32M_NNZ * scale))
+    urm = None
+    if os.path.exists(cache_npz):
+        try:
+            import scipy.sparse as sp
+
+            urm = sp.csr_array(sp.load_npz(cache_npz))
+        except Exception:
+            urm = None
+    if urm is None:
+        urm = synthetic_urm(nnz=int(ML32M_NNZ * scale))
+        try:
+            import scipy.sparse as sp
+
+            sp.save_npz(cache_npz, sp.csr_matrix(urm))
+        except Exception:
+            pass
     gen_s = time.perf_counter() - t0
     item_user = urm.T.tocsr()
     n_items = item_user.shape[0]
@@ -159,10 +180,22 @@ def main():
         file=sys.stderr, flush=True,
     )
 
+    profile_last = os.environ.get("SIMILARIPY_BENCH_PROFILE") == "1"
     times = []
     for r in range(rounds + 1):  # round 0 warms the jit caches
         t0 = time.perf_counter()
-        w = sim.cosine(item_user, k=100, verbose=False)
+        if profile_last and r == rounds:
+            import cProfile
+            import pstats
+
+            pr = cProfile.Profile()
+            pr.enable()
+            w = sim.cosine(item_user, k=100, verbose=False)
+            pr.disable()
+            stats = pstats.Stats(pr, stream=sys.stderr).sort_stats("cumtime")
+            stats.print_stats(30)
+        else:
+            w = sim.cosine(item_user, k=100, verbose=False)
         dt = time.perf_counter() - t0
         print(f"# round {r}: {dt:.2f}s ({n_items / dt:.0f} items/s), nnz={w.nnz:,}",
               file=sys.stderr, flush=True)

@@ -574,14 +574,16 @@ def _pack_carry_planes(vals, idx, *, k_out: int):
 def _fingerprint(*arrays) -> str:
     """Full-content fingerprint of the given arrays.
 
-    Hashes every byte (blake2b runs at GB/s — ~30 ms for 30M nnz, negligible
-    next to the pipeline) so in-place mutation of a SciPy matrix's .data
-    between calls is always detected; the caches can never serve results for
-    a stale matrix.
+    Hashes every byte so in-place mutation of a SciPy matrix's .data
+    between calls is always detected; the caches can never serve results
+    for a stale matrix. sha1 (hardware-accelerated, ~1.5 GB/s here —
+    2.1x blake2b) over the raw buffers, no intermediate copy: the hash is
+    a cache key, and 160 bits keeps accidental collisions impossible in
+    practice.
     """
     import hashlib
 
-    h = hashlib.blake2b(digest_size=16)
+    h = hashlib.sha1()
     for a in arrays:
         if a is None:
             h.update(b"\x00none")
@@ -590,7 +592,7 @@ def _fingerprint(*arrays) -> str:
         h.update(str(a.shape).encode())
         h.update(str(a.dtype).encode())
         if a.size:
-            h.update(np.ascontiguousarray(a).tobytes())
+            h.update(np.ascontiguousarray(a))
     return h.hexdigest()
 
 

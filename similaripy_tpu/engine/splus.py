@@ -73,6 +73,24 @@ def s_plus(
     if matrix2 is None:
         matrix2 = matrix1.T
 
+    import os as _os
+
+    _timing = _os.environ.get("SIMILARIPY_TPU_TIMING") == "1"
+    if _timing:
+        import sys as _sys
+        import time as _t
+
+        _t0 = _t.perf_counter()
+
+        def _lap(label):
+            nonlocal _t0
+            now = _t.perf_counter()
+            print(f"# {label}: {now - _t0:.2f}s", file=_sys.stderr, flush=True)
+            _t0 = now
+    else:
+        def _lap(label):
+            pass
+
     validate_s_plus_inputs(
         matrix1=matrix1,
         matrix2=matrix2,
@@ -92,6 +110,7 @@ def s_plus(
     progress = ProgressBar(n_targets, disabled=not verbose)
     progress.set_description("Preprocessing")
 
+    _lap("validate")
     pre: Preprocessed = preprocess(
         matrix1,
         matrix2,
@@ -113,6 +132,7 @@ def s_plus(
         self_similar=self_similar,
     )
 
+    _lap("preprocess")
     params = SPlusParams(
         a1=a1,
         l1=l1,
@@ -151,26 +171,15 @@ def s_plus(
         )
 
     progress.set_description(f"Building {format_output} matrix")
-    import os as _os
-
-    if _os.environ.get("SIMILARIPY_TPU_TIMING") == "1":
-        import sys
-        import time as _t
-
-        t0 = _t.perf_counter()
-        res = assemble(
-            vals, idx, pre.targets, pre.n_output_rows, pre.n_output_cols,
-            format_output,
-        )
-        print(f"# assembly: {_t.perf_counter() - t0:.2f}s", file=sys.stderr, flush=True)
-    else:
-        res = assemble(
-            vals,
-            idx,
-            pre.targets,
-            pre.n_output_rows,
-            pre.n_output_cols,
-            format_output,
-        )
+    _lap("execute (wall)")
+    res = assemble(
+        vals,
+        idx,
+        pre.targets,
+        pre.n_output_rows,
+        pre.n_output_cols,
+        format_output,
+    )
+    _lap("assembly")
     progress.close("Done")
     return res
