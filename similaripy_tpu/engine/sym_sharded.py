@@ -650,8 +650,14 @@ def execute_symmetric_sharded(
                 done_rows = done
 
     k_out = min(k, k_pad_r + k_pad_c) if use_pallas else k
-    out_vals = np.full((C, k), NEG_INF, np.float32)
-    out_idx = np.zeros((C, k), np.int32)
+    if k_out >= k:
+        # every cell is written below; skip the NEG_INF fill (symmetric.py)
+        out_vals = np.empty((C, k), np.float32)
+        out_idx = np.empty((C, k), np.int32)
+    else:
+        out_vals = np.full((C, k), NEG_INF, np.float32)
+        out_idx = np.zeros((C, k), np.int32)
+    item_map32 = item_map.astype(np.int32)
     for start, size, packed in snapshots:
         arr = np.asarray(packed)  # (size, k_out, 2) int32
         vals = arr.view(np.float32)[..., 0]
@@ -665,5 +671,5 @@ def execute_symmetric_sharded(
     if progress is not None and done_rows < C:
         progress.update(C - done_rows)
 
-    out_idx = item_map[out_idx].astype(np.int32)
+    out_idx = item_map32[out_idx]
     return out_vals, out_idx
