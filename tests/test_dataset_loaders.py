@@ -47,6 +47,7 @@ def test_movielens_csv_parse_exact():
 
 
 def test_yambda_parquet_parse_binarized():
+    pytest.importorskip("pyarrow")
     urm = _from_parquet(os.path.join(FIXTURES, "yambda_events.parquet"))
     # 4 users (10, 42, 77, 99), 5 items (7002, 7010, 7031, 7050)
     assert urm.shape == (4, 4)
@@ -76,9 +77,19 @@ def test_npz_roundtrip(tmp_path):
 
 def test_load_file_dispatches_by_extension(tmp_path):
     assert load_file(os.path.join(FIXTURES, "ratings.csv")).shape == (5, 6)
-    assert load_file(
-        os.path.join(FIXTURES, "yambda_events.parquet")
-    ).shape == (4, 4)
+    if _has_pyarrow():
+        assert load_file(
+            os.path.join(FIXTURES, "yambda_events.parquet")
+        ).shape == (4, 4)
+
+
+def _has_pyarrow() -> bool:
+    try:
+        import pyarrow  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
 
 
 def test_load_urm_data_path_and_local_dir(tmp_path, monkeypatch):

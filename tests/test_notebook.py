@@ -15,7 +15,7 @@ sys.path.insert(0, os.path.join(REPO, "examples"))
 
 
 def test_notebook_in_sync_with_generator():
-    import nbformat
+    nbformat = pytest.importorskip("nbformat")
 
     import make_notebook
 
