@@ -30,6 +30,11 @@ ML32M = {"C": 84_432, "U": 200_948, "nnz": 31_468_483}
 # docs/distributed.md "~12%" number), not of raw counts
 MXU_INT8_OPS = 296e12
 SCATTER_NNZ_RATE = 25e6
+# ICI all-reduce estimate for the sharded anchor densify's psum — an
+# ESTIMATE (no multi-chip hardware here), labeled as such in the report:
+# v5e ICI ~100 GB/s/link usable, ring all-reduce moves ~2(N-1)/N of the
+# (u_pad, tc) bf16 tile
+ICI_GBPS_ESTIMATE = 100e9
 
 
 def anatomy_table(C: int, U: int, nnz: int, n_list=(1, 2, 4, 8)) -> dict:
@@ -48,7 +53,17 @@ def anatomy_table(C: int, U: int, nnz: int, n_list=(1, 2, 4, 8)) -> dict:
         t_scatter = nnz_tile / SCATTER_NNZ_RATE
         t_mxu = prod_max * t_product
         t_inner = scat_max * t_scatter
-        t_anchor = a["anchor_densifies_per_device"] * t_scatter
+        if n > 1:
+            # sharded anchor densify (engine default for N > 1): per-device
+            # scatter work is 1/N, plus one psum per anchor tile (ICI rate
+            # is an ESTIMATE — no multi-chip hardware to measure here)
+            tile_bytes = u_pad * tc * 2  # bf16 scatter dtype
+            t_psum = 2 * (n - 1) / n * tile_bytes / ICI_GBPS_ESTIMATE
+            t_anchor = a["anchor_densify_tile_equiv_sharded"] * t_scatter + (
+                a["anchor_psum_collectives"] * t_psum
+            )
+        else:
+            t_anchor = a["anchor_densifies_per_device"] * t_scatter
         t_total = t_mxu + t_inner + t_anchor
         if base is None:
             base = (prod_max, scat_max, t_total)

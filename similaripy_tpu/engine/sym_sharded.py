@@ -13,18 +13,21 @@ local top-k, `all_gather` the k partials across the mesh and re-select
 (the same distributed heap-drain replacement as sharded.py's `_merge_cols`;
 reference: s_plus.h:39-64).
 
-Communication pattern: the all-gather of (pair_rows, k) partials once per
-anchor pair is the ONLY collective — O(C*k*N) floats over the whole run,
-riding ICI, negligible next to the O(C^2/N) per-device similarity compute.
-Matrix data never moves between devices: the per-tile COO arrays are
-replicated once at prep (each device's HBM holds its own copy, exactly as
-each host thread of the reference's OpenMP loop reads the shared CSR), and
-anchor stacks are densified replicated — a small non-scaling term measured
-at ~12% of the single-chip schedule (BASELINE.md).
+Communication pattern: one all-gather of (pair_rows, k) partials per
+anchor pair, plus — with the sharded anchor densify (default for N > 1)
+— one psum per anchor tile that unions the per-device partial scatters
+(each device scatters 1/N of the entries; exact because (user, slot)
+pairs are unique, so every cell is nonzero on exactly one device).
+Matrix data otherwise never moves between devices: the per-tile COO
+arrays are replicated once at prep (each device's HBM holds its own
+copy, exactly as each host thread of the reference's OpenMP loop reads
+the shared CSR).
 
-Scaling anatomy (per device): MXU block products / N, inner-tile scatters
-/ N, anchor densifies x1 (replicated), pack collectives ~0. See
-docs/distributed.md for the efficiency protocol.
+Scaling anatomy (per device): MXU block products / N (device-offset
+rotation spreads dispatch remainders), inner-tile scatters / N, anchor
+densify entries / N + one ICI psum per anchor tile, pack collectives ~0.
+See docs/distributed.md + benchmarks/scaling_anatomy.py for the counted
+evidence.
 
 Reference parity: replaces the same work as the reference's OpenMP-blocked
 Gustavson loop (s_plus.h:313-338,358-410) for `matrix2=None` calls on a
@@ -110,11 +113,14 @@ def schedule_anatomy(
     scatters = [0] * N
     padded_steps = [0] * N
     pair_list = _pair_schedule(n_groups, dual)
+    dispatch = 0  # device-offset rotation, mirroring the executor's sweep
     for pair in pair_list:
         for n_anchors, c0, c1 in _sweep_windows(pair, gt, n_tiles_dev):
             for s in range(c0, c1, chunk):
+                rot = dispatch % N
+                dispatch += 1
                 for d in range(N):
-                    t0 = s + d * cs
+                    t0 = s + ((d + rot) % N) * cs
                     live = max(0, min(t0 + cs, c1) - min(t0, c1))
                     products[d] += live * n_anchors
                     scatters[d] += live
@@ -128,8 +134,13 @@ def schedule_anatomy(
         "n_tiles_dev": n_tiles_dev,
         "n_pairs": len(pair_list),
         "pack_collectives": len(pair_list),
-        # every device densifies every anchor group (replicated term)
+        # replicated-densify mode: every device scatters every anchor
+        # tile. With the sharded densify (default for N > 1) each device
+        # scatters 1/N of the entries — tile-equivalents below — plus one
+        # psum collective per anchor tile.
         "anchor_densifies_per_device": n_tiles_dev,
+        "anchor_densify_tile_equiv_sharded": n_tiles_dev / N,
+        "anchor_psum_collectives": n_tiles_dev if N > 1 else 0,
         "products_per_device": products,
         "scatters_per_device": scatters,
         "padded_steps_per_device": padded_steps,
@@ -170,6 +181,10 @@ def _sweep_chunk_sharded(
     end,  # i32 scalar — schedule window end (exclusive); beyond it the
     #       step is redirected to the empty padding tile
     pad_tile,  # i32 scalar — index of the always-empty padding tile
+    rot,  # i32 scalar — device-offset rotation: without it every
+    #      dispatch's remainder tiles land on device 0 and the most-loaded
+    #      device does ~1.5x the mean at N=8 (counted by schedule_anatomy);
+    #      rotating by the global dispatch index spreads the remainders
     pvec,
     *,
     mesh: Mesh,
@@ -210,9 +225,12 @@ def _sweep_chunk_sharded(
 
         k_pad_r, k_pad_c = sym_k_pads(k, tc, sw)
 
-    def block_fn(anchors, dev, carry, s, end, pad_tile, pvec):
+    def block_fn(anchors, dev, carry, s, end, pad_tile, rot, pvec):
         carry = jax.tree.map(lambda x: x[0], carry)
-        t0 = s + _flat_index(mesh, axes) * cs
+        n_dev = 1
+        for name in axes:
+            n_dev *= mesh.shape[name]
+        t0 = s + ((_flat_index(mesh, axes) + rot) % n_dev) * cs
 
         def at(name, t):
             return jax.lax.dynamic_index_in_dim(
@@ -343,11 +361,75 @@ def _sweep_chunk_sharded(
             jax.tree.map(lambda _: P(), anchors),
             jax.tree.map(lambda _: P(), dev),
             carry_spec,
-            P(), P(), P(), P(),
+            P(), P(), P(), P(), P(),
         ),
         out_specs=carry_spec,
         check_vma=False,
-    )(anchors, dev, carry, s, end, pad_tile, pvec)
+    )(anchors, dev, carry, s, end, pad_tile, rot, pvec)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "axes", "tc", "u_pad", "compute_dtype",
+                     "split", "lhs_orient"),
+    donate_argnums=(0,),
+)
+def _densify_anchor_sharded(
+    arena, ru, sl, vv, *,
+    mesh: Mesh, axes: tuple, tc: int, u_pad: int, compute_dtype: str,
+    split: bool, lhs_orient: bool,
+):
+    """Anchor densify with the SCATTER sharded over the mesh.
+
+    The replicated anchor stacks are the sharded schedule's only
+    non-scaling term (~12.7% of the 1-chip wall model — see
+    benchmarks/scaling_anatomy.py). Here each device scatters only its
+    1/N slice of every tile's COO entries (the entry axis arrives
+    pre-split as (N, ps) from place_coo) and a psum over the mesh unions
+    the partial tiles — exact, because (user, slot) pairs are unique, so
+    each cell is nonzero on exactly one device and the sum IS the union.
+    The psum rides ICI (one (u_pad, tc) tile per anchor tile), trading
+    (N-1)/N of the pinned ~25 Mnnz/s scatter cost for a bandwidth-bound
+    collective. Gated by SIMILARIPY_TPU_SYM_SHARD_DENSIFY (default on
+    for N > 1)."""
+    from .executor import compute_cast, densify
+
+    cdt, _ = compute_cast(compute_dtype)
+    # scatter + psum in the scatter dtype (bf16 for the int modes: exact
+    # for |v| <= 127 and avoids relying on sub-word all-reduce support)
+    sdt = jnp.bfloat16 if cdt in (jnp.int8, jnp.int4) else cdt
+
+    def block_fn(arena, ru, sl, vv):
+        del arena  # donated: buffer reused for the replicated output
+        idx = _flat_index(mesh, axes)
+
+        def one(args):
+            u, s, v = args  # (N, ps) entry slices per device
+
+            def pick(a):
+                return jax.lax.dynamic_index_in_dim(a, idx, 0, keepdims=False)
+
+            shape = (tc, u_pad) if lhs_orient else (u_pad, tc)
+            part = densify(shape, pick(u), pick(s), pick(v), sdt)
+            full = jax.lax.psum(part, axes)
+            out = full.astype(cdt) if sdt != cdt else full
+            if split:
+                from .pallas_kernels import split_bf16x3
+
+                out = split_bf16x3(out, axis=0)
+            return out
+
+        if lhs_orient:
+            return jax.lax.map(one, (sl, ru, vv))
+        return jax.lax.map(one, (ru, sl, vv))
+
+    return jax.shard_map(
+        block_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )(arena, ru, sl, vv)
 
 
 @partial(
@@ -479,11 +561,21 @@ def execute_symmetric_sharded(
 
     repl = NamedSharding(mesh, P())
 
+    def split_entries(a, fill):
+        # entry axis pre-split to (N, ps) so the sharded anchor densify
+        # can slice per device; sentinel padding scatters nowhere. The
+        # inner sweep's densify is shape-agnostic over the index arrays.
+        nt, p2 = a.shape
+        ps = -(-p2 // N)
+        out = np.full((nt, N * ps), fill, a.dtype)
+        out[:, :p2] = a
+        return out.reshape(nt, N, ps)
+
     def place_coo(coo_host):
         coo_host = {
-            "ru": pad_tiles(coo_host["ru"], u_pad),  # sentinel -> dropped
-            "sl": pad_tiles(coo_host["sl"], 0),
-            "vv": pad_tiles(coo_host["vv"], 0),
+            "ru": split_entries(pad_tiles(coo_host["ru"], u_pad), u_pad),
+            "sl": split_entries(pad_tiles(coo_host["sl"], 0), 0),
+            "vv": split_entries(pad_tiles(coo_host["vv"], 0), 0),
         }
         return {k2: jax.device_put(v, repl) for k2, v in coo_host.items()}
 
@@ -570,6 +662,13 @@ def execute_symmetric_sharded(
             partial(jnp.zeros, shape, dt), out_shardings=repl
         )()
 
+    # sharded anchor densify: each device scatters 1/N of the entries and
+    # a psum unions the partial tiles — removes the schedule's replicated
+    # scatter term at the cost of one ICI collective per anchor tile
+    shard_densify = N > 1 and os.environ.get(
+        "SIMILARIPY_TPU_SYM_SHARD_DENSIFY", "1"
+    ) not in ("0", "false")
+
     def make_anchor(a: int, reuse=None):
         # each pair's anchors densify INTO the retired pair's donated
         # buffers (per device, since the stacks are replicated) — no
@@ -577,7 +676,14 @@ def execute_symmetric_sharded(
         # working set per device, same as the single-device executor
         t0, t1 = a * gt, (a + 1) * gt
         arena = reuse if reuse is not None else fresh_arena()
-        if use_pallas:
+        if shard_densify:
+            lhs = _densify_anchor_sharded(
+                arena, dev["ru"][t0:t1], dev["sl"][t0:t1], dev["vv"][t0:t1],
+                mesh=mesh, axes=axes, tc=tc, u_pad=u_pad,
+                compute_dtype=compute_dtype, split=f32x3,
+                lhs_orient=not use_pallas,
+            )
+        elif use_pallas:
             lhs = _densify_rhs_stack_into(
                 arena, dev["ru"][t0:t1], dev["sl"][t0:t1], dev["vv"][t0:t1],
                 tc=tc, u_pad=u_pad, compute_dtype=compute_dtype, split=f32x3,
@@ -598,12 +704,17 @@ def execute_symmetric_sharded(
             "a0": jnp.int32(t0),
         }
 
+    dispatch_counter = [0]  # feeds the device-offset rotation (see rot)
+
     def sweep(anchors, c0: int, c1: int):
         nonlocal carry
         for s in range(c0, c1, chunk):
+            rot = dispatch_counter[0] % N
+            dispatch_counter[0] += 1
             carry = _sweep_chunk_sharded(
                 tuple(anchors), dev, carry,
-                jnp.int32(s), jnp.int32(c1), jnp.int32(n_tiles_dev), pvec,
+                jnp.int32(s), jnp.int32(c1), jnp.int32(n_tiles_dev),
+                jnp.int32(rot), pvec,
                 mesh=mesh, axes=axes, flags=flags, k=k_kern, gt=gt, tc=tc,
                 u_pad=u_pad, cs=cs, n_anchors=len(anchors),
                 compute_dtype=compute_dtype, precision=precision,

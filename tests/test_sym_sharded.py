@@ -181,3 +181,37 @@ def test_pallas_k_exceeds_tile_width_mesh(monkeypatch):
     got, ref = _both(sim.dot_product, mesh, m, k=200, verbose=False)
     assert got.nnz == ref.nnz, (got.nnz, ref.nnz)
     np.testing.assert_allclose(check_sum(got), check_sum(ref), rtol=1e-6)
+
+
+@pytest.mark.parametrize("use_pallas", ["0", "1"])
+def test_shard_densify_matches_replicated(monkeypatch, use_pallas):
+    """The sharded anchor densify (per-device entry slices + psum union)
+    must be exact vs both the replicated densify and the single-device
+    executor, on the XLA and fused (interpret) block paths."""
+    monkeypatch.setenv("SIMILARIPY_TPU_USE_PALLAS", use_pallas)
+    m = _rand(64, 500, density=0.2, seed=11).T.tocsr()  # 500 items
+    mesh = make_mesh(rows=2, cols=4)
+
+    monkeypatch.setenv("SIMILARIPY_TPU_SYM_SHARD_DENSIFY", "1")
+    sharded = sim.cosine(m, k=7, verbose=False, mesh=mesh).tocsr()
+    sim.clear_caches()
+    monkeypatch.setenv("SIMILARIPY_TPU_SYM_SHARD_DENSIFY", "0")
+    replicated = sim.cosine(m, k=7, verbose=False, mesh=mesh).tocsr()
+    sim.clear_caches()
+    monkeypatch.delenv("SIMILARIPY_TPU_SYM_SHARD_DENSIFY")
+    single = sim.cosine(m, k=7, verbose=False).tocsr()
+
+    # int8-exact path: the three results must agree exactly in value terms
+    np.testing.assert_allclose(check_sum(sharded), check_sum(replicated),
+                               rtol=1e-6)
+    np.testing.assert_allclose(check_sum(sharded), check_sum(single),
+                               rtol=1e-6)
+
+
+def test_shard_densify_float_path(monkeypatch):
+    m = _rand(48, 400, density=0.2, seed=12, integral=False).T.tocsr()
+    mesh = make_mesh(rows=8, cols=1)
+    monkeypatch.setenv("SIMILARIPY_TPU_SYM_SHARD_DENSIFY", "1")
+    got, ref = _both(sim.cosine, mesh, m, k=6, verbose=False,
+                     compute_dtype="float32")
+    np.testing.assert_allclose(check_sum(got), check_sum(ref), rtol=1e-4)
