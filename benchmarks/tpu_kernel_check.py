@@ -206,6 +206,13 @@ def main():
         ("sym k>tile-width int8",
          _with_env("SIMILARIPY_TPU_SYM_TC", "128",
                    lambda: sim.dot_product(m, k=200, verbose=False)), 0),
+        # mid-k: k_pad*tc over the scoped-VMEM boundary shrinks the tile
+        # width and stays fused (round 3; previously fell back to XLA).
+        # SYM_TC=4096 so the 264*4096 product trips the bound -> tc=2944,
+        # which also exercises the tm=128 row-block fallback
+        ("sym mid-k shrink-tc int8",
+         _with_env("SIMILARIPY_TPU_SYM_TC", "4096",
+                   lambda: sim.cosine(m, k=256, verbose=False)), 0),
     ]
     gen_variants = [
         ("gen cosine int8 (target_rows)",

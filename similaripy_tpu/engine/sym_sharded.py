@@ -524,19 +524,22 @@ def execute_symmetric_sharded(
         from .pallas_kernels import KB
 
         # both carry planes must be k deep (they accumulate across the
-        # whole sweep schedule — see pallas_kernels.sym_k_pads)
+        # whole sweep schedule — see pallas_kernels.sym_k_pads); cutovers
+        # mirror symmetric.py: k_pad > 1024 -> XLA path, scoped-VMEM
+        # boundary -> shrink the tile width and stay fused
         k_pad = _round_up(min(k, C), 8)
-        # hardware-measured VMEM boundary (v5e, SYM_TM=512): the col-side
-        # carry blocks cost ~8*k_pad*tc B of scoped VMEM io on top of a
-        # ~93 MB base; k_pad*tc = 1<<20 (k=256 @ tc=4096) failed remote
-        # compile at 117.95M/116M, k_pad*tc = 425984 (k=100) fits with
-        # ~20 MB margin. 768*1024 keeps >= 4 MB of headroom.
-        if k_pad > 1024 or k_pad * tc > 768 * 1024:
-            use_pallas = False  # same documented cutover as symmetric.py
+        if k_pad > 1024:
+            use_pallas = False
             f32x3 = False
             tc, gt, u_pad, dual = _plan(C, U, m2.nnz, compute_dtype, budget,
                                         False)
         else:
+            if k_pad * tc > 768 * 1024:
+                tc_fit = max(512, (768 * 1024 // k_pad) // 128 * 128)
+                tc, gt, u_pad, dual = _plan(
+                    C, U, m2.nnz, compute_dtype, budget, True,
+                    tc_max=tc_fit,
+                )
             u_pad = _round_up(u_pad, KB)
     # kernel-side k: no row has more than C candidates (see symmetric.py)
     k_kern = min(k, C) if use_pallas else k

@@ -193,7 +193,8 @@ def _triangle_counts(n_tiles_dev: int, gt: int, dual: bool,
 
 
 def _plan(C: int, U: int, nnz: int, compute_dtype: str, budget: int,
-          use_pallas: bool) -> tuple[int, int, int, bool]:
+          use_pallas: bool,
+          tc_max: Optional[int] = None) -> tuple[int, int, int, bool]:
     """Choose (tc, gt, u_pad, dual) by modeled wall time under the HBM cap.
 
     Two O(n_groups) terms trade off: coarser anchors (larger gt) cut the
@@ -213,6 +214,8 @@ def _plan(C: int, U: int, nnz: int, compute_dtype: str, budget: int,
         tc = _round_up(int(tc_env), 128)
     else:
         tc = 4096 if isize <= 2 else 2048
+    if tc_max is not None:
+        tc = min(tc, tc_max)
     tc = min(tc, _round_up(C, 128))
     n_tiles = math.ceil(C / tc)
 
@@ -867,22 +870,30 @@ def execute_symmetric(
         # both carry planes must be k deep (they accumulate across the
         # whole sweep schedule — see pallas_kernels.sym_k_pads)
         k_pad = _round_up(min(k, C), 8)
-        # cutover: extraction/merge cost scales with k_pad, and the
-        # col-side carry block costs k_pad*tc*8 B of VMEM io per product
-        # hardware-measured VMEM boundary (v5e, SYM_TM=512): the col-side
-        # carry blocks cost ~8*k_pad*tc B of scoped VMEM io on top of a
-        # ~93 MB base; k_pad*tc = 1<<20 (k=256 @ tc=4096) failed remote
-        # compile at 117.95M/116M, k_pad*tc = 425984 (k=100) fits with
-        # ~20 MB margin. 768*1024 keeps >= 4 MB of headroom.
-        if k_pad > 1024 or k_pad * tc > 768 * 1024:
-            # one extraction pass per kept value: beyond ~1024 the XLA
-            # sort-based top_k wins (same cutover as the general executor);
-            # re-plan with the XLA path's score-block working set reserved
+        # cutovers, in order:
+        #   1. k_pad > 1024: one extraction pass per kept value — beyond
+        #      ~1024 the XLA sort-based top_k wins (same cutover as the
+        #      general executor). Re-plan for the XLA path.
+        #   2. k_pad*tc over the hardware-measured scoped-VMEM boundary
+        #      (v5e, SYM_TM=512: the col-side carry blocks cost
+        #      ~8*k_pad*tc B on a ~93 MB base; k_pad*tc = 1<<20 failed
+        #      remote compile at 117.95M/116M, 768*1024 keeps >= 4 MB of
+        #      headroom): SHRINK THE TILE WIDTH instead of falling back —
+        #      a narrower fused tile (more scatter calls, same total nnz)
+        #      beats the XLA chain by far (round 3: k=256 previously fell
+        #      back for every tc=4096 plan since 256*4096 > 768*1024).
+        if k_pad > 1024:
             use_pallas = False
             k_pad = k
             tc, gt, u_pad, dual = _plan(C, U, m2.nnz, compute_dtype, budget,
                                         False)
         else:
+            if k_pad * tc > 768 * 1024:
+                tc_fit = max(512, (768 * 1024 // k_pad) // 128 * 128)
+                tc, gt, u_pad, dual = _plan(
+                    C, U, m2.nnz, compute_dtype, budget, True,
+                    tc_max=tc_fit,
+                )
             u_pad = _round_up(u_pad, KB)
     # kernel-side k: no row has more than C candidates, so deeper planes
     # would only pad; the pack emits min(k, both planes) columns and the

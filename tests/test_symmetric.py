@@ -385,3 +385,31 @@ def test_pallas_k_exceeds_catalog(monkeypatch):
                            verbose=False)
     assert got.nnz == ref.nnz, (got.nnz, ref.nnz)
     np.testing.assert_allclose(check_sum(got), check_sum(ref), rtol=1e-6)
+
+
+def test_midk_shrinks_tile_width_stays_fused(monkeypatch):
+    """k_pad*tc over the scoped-VMEM boundary must SHRINK tc and stay on
+    the fused kernel (round 3) — previously every k > ~192 at the default
+    tile width fell back to the XLA chain."""
+    import similaripy_tpu.engine.pallas_kernels as pk
+
+    monkeypatch.setenv("SIMILARIPY_TPU_USE_PALLAS", "1")
+    calls = []
+    orig = pk.fused_sym_topk
+
+    def spy(*a, **kw):
+        calls.append(kw.get("tc"))
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pk, "fused_sym_topk", spy)
+    # C=1200 -> default tc would be 1280; k=700 -> k_pad=704 and
+    # 704*1280 > 768*1024, so the planner must shrink tc to <= 1024
+    m = _rand(60, 1200, density=0.3, seed=31).T.tocsr()
+    got = sim.dot_product(m, k=700, verbose=False)
+    assert calls, "mid-k call fell off the fused kernel"
+    assert all(tc is not None and tc * 704 <= 768 * 1024 for tc in calls)
+    sim.clear_caches()
+    monkeypatch.setenv("SIMILARIPY_TPU_SYMMETRIC", "0")
+    ref = sim.dot_product(m, k=700, verbose=False)
+    assert got.nnz == ref.nnz
+    np.testing.assert_allclose(check_sum(got), check_sum(ref), rtol=1e-6)
