@@ -180,9 +180,35 @@ def main():
         file=sys.stderr, flush=True,
     )
 
+    # settle the tunnel/compile helper before timing: a heavy preceding
+    # process (kernel sweep, crashed client) leaves the remote compile
+    # helper queueing for minutes, inflating round 0 3-7x (measured 43.3s
+    # settled vs 304-345s busy). Each probe compiles a NEW tiny program —
+    # exactly the path a busy helper stalls — until two in a row are fast.
+    t0 = time.perf_counter()
+    probes = 0
+    streak = 0
+    deadline = t0 + float(os.environ.get("SIMILARIPY_BENCH_SETTLE_S", "240"))
+    import jax.numpy as jnp
+
+    while time.perf_counter() < deadline and streak < 2:
+        tp = time.perf_counter()
+        y = jax.jit(lambda x, _n=probes: x * (_n + 2))(
+            jnp.ones((8, 128), jnp.float32)
+        )
+        np.asarray(y)
+        streak = streak + 1 if time.perf_counter() - tp < 2.0 else 0
+        probes += 1
+    print(
+        f"# settle: {time.perf_counter() - t0:.1f}s ({probes} probes)",
+        file=sys.stderr, flush=True,
+    )
+
     profile_last = os.environ.get("SIMILARIPY_BENCH_PROFILE") == "1"
+    max_extra = int(os.environ.get("SIMILARIPY_BENCH_MAX_EXTRA", "4"))
     times = []
-    for r in range(rounds + 1):  # round 0 warms the jit caches
+    r = 0
+    while True:
         t0 = time.perf_counter()
         if profile_last and r == rounds:
             import cProfile
@@ -199,8 +225,20 @@ def main():
         dt = time.perf_counter() - t0
         print(f"# round {r}: {dt:.2f}s ({n_items / dt:.0f} items/s), nnz={w.nnz:,}",
               file=sys.stderr, flush=True)
-        if r > 0:
+        if r > 0:  # round 0 warms the jit caches
             times.append(dt)
+        r += 1
+        if len(times) < rounds:
+            continue
+        # adaptive extension: a degraded tunnel (busy compile helper,
+        # queued deletes) makes early rounds descend instead of being
+        # steady-state; keep timing while the best round is still one of
+        # the last two, up to `max_extra` extra rounds, so the recorded
+        # best reflects the engine and not the tunnel's warm-up tail
+        if len(times) >= rounds + max_extra:
+            break
+        if min(times) < min(times[-2:]):
+            break  # best is at least two rounds old: steady state reached
 
     # recall@100 vs an exact SciPy oracle on a row sample (tie-tolerant:
     # an engine pick counts as a hit if its oracle score reaches the
