@@ -121,3 +121,53 @@ def benchmark_similarity(
     res.output_nnz = int(out.nnz)
     res.avg_neighbors = out.nnz / max(res.n_rows, 1)
     return res
+
+
+def benchmark_scoring(
+    score_fn: Callable,
+    urm,
+    *,
+    name: str,
+    k: int = 10,
+    rounds: int = 3,
+    warmup: int = 1,
+    profile_dir: Optional[str] = None,
+    **kwargs,
+) -> BenchmarkResult:
+    """Time the recommendation SCORING stage: `score_fn(urm, k=k)` ranks
+    items for every user row of the URM (the reference pipeline's second
+    half — reference: notebooks/movielens32m_item_item_recommender.ipynb
+    cell 37 and README.md:86-94: `dot_product(urm, W.T, k,
+    filter_cols=urm)`). Throughput is USERS scored per second; the
+    similarity-model build is the caller's (untimed) responsibility."""
+    res = BenchmarkResult(name=name, k=k, rounds=rounds)
+    res.n_rows, res.n_cols = urm.shape
+    res.input_nnz = urm.nnz
+    res.density = urm.nnz / float(urm.shape[0] * urm.shape[1])
+
+    out = None
+    for _ in range(warmup):
+        out = score_fn(urm, k=k, verbose=False, **kwargs)
+
+    try:
+        import jax
+
+        prof = (
+            jax.profiler.trace(profile_dir) if profile_dir else nullcontext()
+        )
+    except Exception:
+        prof = nullcontext()
+
+    with prof:
+        for _ in range(rounds):
+            t0 = time.perf_counter()
+            out = score_fn(urm, k=k, verbose=False, **kwargs)
+            res.times_s.append(time.perf_counter() - t0)
+
+    res.mean_s = statistics.mean(res.times_s)
+    res.std_s = statistics.stdev(res.times_s) if rounds > 1 else 0.0
+    res.best_s = min(res.times_s)
+    res.throughput_items_s = res.n_rows / res.mean_s  # users/s here
+    res.output_nnz = int(out.nnz)
+    res.avg_neighbors = out.nnz / max(res.n_rows, 1)
+    return res

@@ -8,6 +8,11 @@ Usage:
   python benchmarks/run_benchmarks.py --dataset movielens_32m \
       --similarities dot_product cosine rp3beta --k 100 --rounds 3 \
       --output-dir reports
+
+Beyond the reference: `--stage scoring` times the pipeline's SECOND half
+(reference: notebooks cell 37 / README.md:86-94) — build the item-item
+model once untimed, then time `dot_product(urm, W.T, k=--scoring-k,
+filter_cols=urm)` over all users. Throughput is users scored per second.
 """
 
 from __future__ import annotations
@@ -20,7 +25,7 @@ import time
 from datetime import datetime, timezone
 
 import similaripy_tpu as sim
-from benchmark import benchmark_similarity, system_info
+from benchmark import benchmark_scoring, benchmark_similarity, system_info
 from dataset_loaders import DATASETS, load_urm
 
 SIMILARITIES = {
@@ -53,13 +58,16 @@ def format_summary_table(results: list) -> str:
 def write_reports(results, args, info, provenance, out_dir):
     os.makedirs(out_dir, exist_ok=True)
     stamp = datetime.now(timezone.utc).strftime("%Y%m%d_%H%M%S")
-    base = os.path.join(out_dir, f"benchmark_{args.dataset}_{stamp}")
+    stage = getattr(args, "stage", "similarity")
+    tag = f"{args.dataset}_scoring" if stage == "scoring" else args.dataset
+    base = os.path.join(out_dir, f"benchmark_{tag}_{stamp}")
     n = 1
     while os.path.exists(base + ".json"):  # same-second runs must not clobber
         n += 1
-        base = os.path.join(out_dir, f"benchmark_{args.dataset}_{stamp}_{n}")
+        base = os.path.join(out_dir, f"benchmark_{tag}_{stamp}_{n}")
     payload = {
         "dataset": args.dataset,
+        "stage": stage,
         "provenance": provenance,
         "k": args.k,
         "rounds": args.rounds,
@@ -70,7 +78,7 @@ def write_reports(results, args, info, provenance, out_dir):
         json.dump(payload, f, indent=2)
     with open(base + ".txt", "w") as f:
         f.write(f"dataset: {args.dataset} ({provenance})\n")
-        f.write(f"k={args.k} rounds={args.rounds}\n\n")
+        f.write(f"stage={stage} k={args.k} rounds={args.rounds}\n\n")
         f.write(format_summary_table(results) + "\n")
     return base + ".json"
 
@@ -84,6 +92,18 @@ def main(argv=None):
                    default=["dot_product", "cosine", "rp3beta"],
                    choices=sorted(SIMILARITIES))
     p.add_argument("--k", type=int, default=100)
+    p.add_argument("--stage", default="similarity",
+                   choices=["similarity", "scoring"],
+                   help="'similarity': time the item-item model build "
+                        "(reference protocol). 'scoring': build each "
+                        "model once untimed, then time "
+                        "dot_product(urm, W.T, k=--scoring-k, "
+                        "filter_cols=urm) over ALL users — the reference "
+                        "pipeline's recommendation stage; throughput is "
+                        "users/s")
+    p.add_argument("--scoring-k", type=int, default=10,
+                   help="recommendations per user in --stage scoring "
+                        "(the model build uses --k)")
     p.add_argument("--rounds", type=int, default=3)
     p.add_argument("--warmup", type=int, default=1)
     p.add_argument("--output-dir", default="reports")
@@ -109,20 +129,49 @@ def main(argv=None):
 
     results = []
     for name in args.similarities:
-        print(f"# running {name} (k={args.k}, {args.rounds} rounds)...")
-        r = benchmark_similarity(
-            SIMILARITIES[name],
-            item_user,
-            name=name,
-            k=args.k,
-            rounds=args.rounds,
-            warmup=args.warmup,
-            profile_dir=args.profile_dir,
-            compute_dtype=args.compute_dtype,
-            precision=args.precision,
-        )
+        if args.stage == "scoring":
+            print(f"# building {name} model (k={args.k}, untimed)...")
+            t0 = time.perf_counter()
+            model = SIMILARITIES[name](
+                item_user, k=args.k, verbose=False,
+                compute_dtype=args.compute_dtype, precision=args.precision,
+            ).T.tocsr()
+            print(f"#   built in {time.perf_counter() - t0:.1f}s "
+                  f"(nnz={model.nnz:,})")
+            print(f"# scoring all {urm.shape[0]:,} users "
+                  f"(k={args.scoring_k}, filter_cols=urm, "
+                  f"{args.rounds} rounds)...")
+            r = benchmark_scoring(
+                lambda m, model=model, **kw: sim.dot_product(
+                    m, model, filter_cols=m, **kw
+                ),
+                urm,
+                name=f"scoring[{name}]",
+                k=args.scoring_k,
+                rounds=args.rounds,
+                warmup=args.warmup,
+                profile_dir=args.profile_dir,
+                compute_dtype=args.compute_dtype,
+                precision=args.precision,
+            )
+            unit = "users/s"
+        else:
+            print(f"# running {name} (k={args.k}, {args.rounds} rounds)...")
+            r = benchmark_similarity(
+                SIMILARITIES[name],
+                item_user,
+                name=name,
+                k=args.k,
+                rounds=args.rounds,
+                warmup=args.warmup,
+                profile_dir=args.profile_dir,
+                compute_dtype=args.compute_dtype,
+                precision=args.precision,
+            )
+            unit = "items/s"
         results.append(r)
-        print(f"#   {r.mean_s:.2f}s ± {r.std_s:.2f} ({r.throughput_items_s:.0f} items/s)")
+        print(f"#   {r.mean_s:.2f}s ± {r.std_s:.2f} "
+              f"({r.throughput_items_s:.0f} {unit})")
 
     print()
     print(format_summary_table(results))

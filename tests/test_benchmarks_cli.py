@@ -151,6 +151,42 @@ def test_kernel_stamp_tracks_source_hash(tmp_path, monkeypatch):
     assert not ks.stamp_is_current()
 
 
+def test_scoring_stage_end_to_end(tmp_path, capsys):
+    """--stage scoring builds the model untimed, scores all users with
+    filter_cols=urm, and writes a stage-tagged report."""
+    import glob
+
+    import scipy.sparse as sp
+
+    import run_benchmarks as rb
+
+    rng = np.random.default_rng(7)
+    m = sp.random_array((200, 80), density=0.1, format="csr",
+                        dtype=np.float32, random_state=rng)
+    npz = tmp_path / "urm.npz"
+    sp.save_npz(str(npz), sp.csr_matrix(m))
+    out_dir = str(tmp_path / "reports")
+    rc = rb.main([
+        "--dataset", "synthetic_small", "--data-path", str(npz),
+        "--stage", "scoring", "--similarities", "cosine",
+        "--k", "20", "--scoring-k", "5", "--rounds", "1", "--warmup", "0",
+        "--output-dir", out_dir,
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "users/s" in out
+    reports = glob.glob(os.path.join(out_dir, "benchmark_*_scoring_*.json"))
+    assert len(reports) == 1
+    rep = json.load(open(reports[0]))
+    assert rep["stage"] == "scoring"
+    (res,) = rep["results"]
+    assert res["name"] == "scoring[cosine]"
+    assert res["n_rows"] == 200 and res["n_cols"] == 80
+    assert res["k"] == 5
+    # k=5 recs per user, minus rows whose candidates were fully filtered
+    assert 0 < res["output_nnz"] <= 200 * 5
+
+
 def test_egress_probe_is_fast():
     import time
 
