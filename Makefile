@@ -23,6 +23,11 @@ bench-medium:
 bench-large:
 	python benchmarks/run_benchmarks.py --dataset movielens_32m
 
+# recommendation-scoring stage (users/s; see benchmarks/README.md)
+bench-scoring:
+	python benchmarks/run_benchmarks.py --dataset synthetic_medium \
+	    --stage scoring --similarities cosine --precision high
+
 clean:
 	rm -rf build dist *.egg-info reports
 	find . -name __pycache__ -type d -exec rm -rf {} +

@@ -527,6 +527,28 @@ def clear_device_cache():
     _DEVICE_CACHE.clear()
 
 
+def foreign_cache_bytes(keep_fps: tuple) -> int:
+    """Device-resident bytes held by cache entries for OTHER matrices.
+
+    A pipeline that builds an item-item model and then scores with it
+    (the reference's notebook flow) leaves the model build's multi-hundred-
+    MB device uploads cached when the scoring call plans its tile groups;
+    planning as if that HBM were free OOMed a full-ML-32M scoring call.
+    Entries whose key mentions any of `keep_fps` (this call's input
+    fingerprints) are the ones the call itself will reuse, so they are
+    excluded; everything else is counted so the planner leaves room."""
+    import jax
+
+    total = 0
+    for key, value in _DEVICE_CACHE.items():
+        if any(fp in key for fp in keep_fps if fp is not None):
+            continue
+        for leaf in jax.tree.leaves(value):
+            if isinstance(leaf, jax.Array):
+                total += leaf.nbytes
+    return total
+
+
 def clear_caches():
     """Drop every engine cache: device-resident tile/panel uploads and the
     host preprocess cache. Safe to call any time; the next call re-stages.
@@ -929,13 +951,26 @@ def execute(
     tile_bytes = u_pad * tc * dense_item
     m1_bytes = trp * u_pad * (dense_item + (2 if compute_dtype in ("int8", "int4") else 0))
     # reserve: panel working set + cached COO uploads (~12B/nnz + padding)
+    # + one group's selector-tile slice (the (P, g, pf) index pairs stay
+    # host-resident and upload per group) + the whole-run carry planes.
+    # A full-ML-32M scoring call (m2 explicit, filter_cols=urm) OOMed with
+    # the original reserve: 31.5M selector nnz and ~340 MB of carries were
+    # unbudgeted next to a 7.6 GB tile stack.
+    sel_nnz = (
+        (pre.filter_matrix.nnz if pre.filter_matrix is not None else 0)
+        + (pre.target_matrix.nnz if pre.target_matrix is not None else 0)
+    )
+    n_panels_est = math.ceil(T / trp)
     reserve = (
         m1_bytes
         + trp * tc * 16
         + int((m1.nnz + m2.nnz) * 12 * 1.8)
+        + int(sel_nnz * 8 * 1.8)
+        + 2 * n_panels_est * k_pad * trp * 4
         + (1 << 30)
     )
-    g_tiles = max(1, int((budget * 0.85 - reserve) // tile_bytes))
+    foreign = foreign_cache_bytes((pre.fp1, pre.fp2))
+    g_tiles = max(1, int((budget * 0.85 - reserve - foreign) // tile_bytes))
     g_tiles = min(g_tiles, n_tiles)
     # pad the tile count so every group has exactly g_tiles tiles (stable
     # compiled shapes); the extra tiles are empty and contribute nothing.
@@ -1080,10 +1115,15 @@ def execute(
             entry["tgt_rows"], entry["tgt_cols"] = tr, tcl
         sel_tiles.append(entry)
     if sel_tiles and sel_tiles[0]:
+        # host-resident: each group reads ONLY its own [:, t0:t1] slice, so
+        # keeping the full (P, n_tiles, pf) stack on device buys nothing
+        # across groups and costs ~0.5-1 GB of HBM on selector-heavy calls
+        # (filter_cols=urm at ML-32M scale); the per-group slice uploads
+        # below
         sel_stacked = {
-            name: jnp.asarray(np.stack([e[name] for e in sel_tiles]))
+            name: np.stack([e[name] for e in sel_tiles])
             for name in sel_tiles[0]
-        }  # (P, n_tiles, pf)
+        }  # (P, n_tiles, pf), np
 
     if use_pallas:
         # (k_pad, trp) carry planes, merged in-kernel per tile (the same
@@ -1151,7 +1191,9 @@ def execute(
 
         tiles = dict(group_tiles)
         for name, arr in sel_stacked.items():
-            tiles[name] = arr[:, t0:t1]  # (P, G, pf)
+            # np.ascontiguousarray: the column slice of the host stack is
+            # strided; make the h2d transfer one contiguous copy
+            tiles[name] = jnp.asarray(np.ascontiguousarray(arr[:, t0:t1]))
 
         d_pr, d_pc, d_pv, d_xt, d_xc, d_xd = panels_dev
         carry_v, carry_i = _run_group_panels(

@@ -850,6 +850,12 @@ def execute_symmetric(
 
     compute_dtype, inv_scale = resolve_compute_dtype(compute_dtype, pre)
     budget = budget_bytes if budget_bytes is not None else hbm_budget_bytes()
+    # cached device uploads belonging to OTHER matrices (e.g. a scoring
+    # stage's panels while re-building a model) occupy real HBM — plan
+    # around them instead of on top of them
+    from .executor import foreign_cache_bytes
+
+    budget = max(budget // 4, budget - foreign_cache_bytes((pre.fp1, pre.fp2)))
 
     # fused dual-sided kernel (pallas_kernels.fused_sym_topk): f32-HIGH
     # runs it in split-bf16x3 mode (XLA-HIGH accuracy at ~2x Mosaic's
