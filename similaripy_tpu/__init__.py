@@ -31,6 +31,7 @@ from .similarity import (
     p3alpha,
     rp3beta,
     s_plus,
+    recommend,
 )
 from . import normalization
 from .engine.executor import clear_caches
@@ -51,4 +52,5 @@ __all__ = [
     "p3alpha",
     "rp3beta",
     "s_plus",
+    "recommend",
 ]

@@ -467,6 +467,85 @@ def s_plus(
     )
 
 
+def recommend(
+    urm,
+    model,
+    k: int = 10,
+    *,
+    exclude_seen: bool = True,
+    threshold: float = 0.0,
+    target_rows=None,
+    target_cols=None,
+    filter_cols=None,
+    verbose: bool = True,
+    format_output: str = "coo",
+    num_threads: int = 0,
+    block_size: Optional[int] = 0,
+    **extensions,
+):
+    """Rank the top-k items for every user of a URM with an item-item model.
+
+    Convenience wrapper for the recommendation idiom the reference
+    demonstrates (reference: README.md:86-94 and
+    notebooks/movielens32m_item_item_recommender.ipynb cell 37):
+
+        scores(u, j) = sum_i urm[u, i] * model[j, i]
+                     = dot_product(urm, model.T)[u, j]
+
+    with each user's already-seen items excluded before the top-k
+    (``filter_cols=urm``). Not part of the reference's public API — it is
+    sugar over :func:`dot_product` and accepts the same keyword surface.
+
+    Args:
+        urm: sparse (users x items) interaction matrix.
+        model: sparse (items x items) similarity, rows = target item —
+            exactly what the nine similarity functions return for
+            ``sim.cosine(urm.T, ...)``.
+        k: recommendations per user.
+        exclude_seen: mask each user's nonzero ``urm`` columns before the
+            top-k (on by default). An additional sparse ``filter_cols``
+            is combined with it; an array-form ``filter_cols`` cannot be
+            (pass ``exclude_seen=False`` and pre-combine instead).
+
+    Returns:
+        Sparse (users x items) matrix with k scored items per computed row.
+    """
+    import scipy.sparse as _sp
+
+    if model.shape[0] != model.shape[1] or model.shape[0] != urm.shape[1]:
+        raise ValueError(
+            f"model must be (items x items) = ({urm.shape[1]}, "
+            f"{urm.shape[1]}) to match the URM's item axis, got {model.shape}"
+        )
+    if exclude_seen:
+        if filter_cols is None:
+            filter_cols = urm
+        elif _sp.issparse(filter_cols):
+            filter_cols = (
+                filter_cols.tocsr().astype(bool) + urm.tocsr().astype(bool)
+            ).astype(np.float32)
+        else:
+            raise ValueError(
+                "exclude_seen=True cannot be combined with an array-form "
+                "filter_cols; pass exclude_seen=False and include the seen "
+                "items in your filter matrix instead"
+            )
+    return dot_product(
+        urm,
+        model.T.tocsr(),
+        k=k,
+        threshold=threshold,
+        target_rows=target_rows,
+        target_cols=target_cols,
+        filter_cols=filter_cols,
+        verbose=verbose,
+        format_output=format_output,
+        num_threads=num_threads,
+        block_size=block_size,
+        **extensions,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Shared parameter documentation (appended to every public function; the
 # reference documents this surface on each of the nine functions)
