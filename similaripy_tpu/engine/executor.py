@@ -510,7 +510,11 @@ def _run_group_panels(
 # Content-fingerprinted caching keeps the device copies alive across calls.
 
 _DEVICE_CACHE: dict = {}
-_DEVICE_CACHE_CAP = 4
+# m1 panels + m2 tiles + selector stacks of a scoring call already take 3
+# slots next to a model build's COO entry; 8 keeps a two-model pipeline
+# from thrashing. Device-byte pressure is handled by the planners via
+# foreign_cache_bytes, not by this count.
+_DEVICE_CACHE_CAP = 8
 
 
 def _cache_get(key):
@@ -1027,9 +1031,6 @@ def execute(
 
     has_filter = pre.filter_matrix is not None
     has_target = pre.target_matrix is not None
-    fil_t = pre.filter_matrix[targets] if has_filter else None
-    tgt_t = pre.target_matrix[targets] if has_target else None
-
     pvec = jnp.asarray(build_pvec(params, inv_scale))
 
     # NEG_INF-padded so a k_out < k fused readback keeps the (T, k) contract
@@ -1093,37 +1094,58 @@ def execute(
         panels_dev, panel_sel = cached
 
     # per-panel selector tiles (host-prepped once, sliced per group); one
-    # shared pad bucket across panels keeps the compiled shapes identical
-    sel_tiles = []
-    pf_f = pf_t = None
-    if has_filter:
-        pf_f = _selector_pf(fil_t, panel_sel, col_map, tc, C, n_tiles)
-    if has_target:
-        pf_t = _selector_pf(tgt_t, panel_sel, col_map, tc, C, n_tiles)
+    # shared pad bucket across panels keeps the compiled shapes identical.
+    # Cached by full-content fingerprint: production scoring loops reuse
+    # the same filter matrix (filter_cols=urm) every call and the O(nnz)
+    # restack cost ~2.6 s/call at ML-32M scale
     sel_stacked = {}
-    for p in range(n_panels):
-        entry = {}
-        if has_filter:
-            fr, fc = _stack_selector_tiles_balanced(
-                fil_t[panel_sel[p]].tocsc(), tile_lists, tc, trp, pf=pf_f
-            )
-            entry["fil_rows"], entry["fil_cols"] = fr, fc
-        if has_target:
-            tr, tcl = _stack_selector_tiles_balanced(
-                tgt_t[panel_sel[p]].tocsc(), tile_lists, tc, trp, pf=pf_t
-            )
-            entry["tgt_rows"], entry["tgt_cols"] = tr, tcl
-        sel_tiles.append(entry)
-    if sel_tiles and sel_tiles[0]:
-        # host-resident: each group reads ONLY its own [:, t0:t1] slice, so
-        # keeping the full (P, n_tiles, pf) stack on device buys nothing
-        # across groups and costs ~0.5-1 GB of HBM on selector-heavy calls
-        # (filter_cols=urm at ML-32M scale); the per-group slice uploads
-        # below
-        sel_stacked = {
-            name: np.stack([e[name] for e in sel_tiles])
-            for name in sel_tiles[0]
-        }  # (P, n_tiles, pf), np
+    if has_filter or has_target:
+        def _mat_fp(m):
+            return _fingerprint(m.data, m.indices, m.indptr) if m is not None else None
+
+        sel_cache_key = (
+            "sel",
+            pre.fp1, pre.fp2, _fingerprint(targets),
+            _mat_fp(pre.filter_matrix), _mat_fp(pre.target_matrix),
+            compute_dtype, trp, tc, n_tiles, u_pad,
+        )
+        cached_sel = _cache_get(sel_cache_key)
+        if cached_sel is None:
+            fil_t = pre.filter_matrix[targets] if has_filter else None
+            tgt_t = pre.target_matrix[targets] if has_target else None
+            sel_tiles = []
+            pf_f = pf_t = None
+            if has_filter:
+                pf_f = _selector_pf(fil_t, panel_sel, col_map, tc, C, n_tiles)
+            if has_target:
+                pf_t = _selector_pf(tgt_t, panel_sel, col_map, tc, C, n_tiles)
+            for p in range(n_panels):
+                entry = {}
+                if has_filter:
+                    fr, fc = _stack_selector_tiles_balanced(
+                        fil_t[panel_sel[p]].tocsc(), tile_lists, tc, trp,
+                        pf=pf_f,
+                    )
+                    entry["fil_rows"], entry["fil_cols"] = fr, fc
+                if has_target:
+                    tr, tcl = _stack_selector_tiles_balanced(
+                        tgt_t[panel_sel[p]].tocsc(), tile_lists, tc, trp,
+                        pf=pf_t,
+                    )
+                    entry["tgt_rows"], entry["tgt_cols"] = tr, tcl
+                sel_tiles.append(entry)
+            # host-resident: each group reads ONLY its own [:, t0:t1]
+            # slice, so keeping the full (P, n_tiles, pf) stack on device
+            # buys nothing across groups and costs ~0.5-1 GB of HBM on
+            # selector-heavy calls (filter_cols=urm at ML-32M scale); the
+            # per-group slice uploads below
+            sel_stacked = {
+                name: np.stack([e[name] for e in sel_tiles])
+                for name in sel_tiles[0]
+            }  # (P, n_tiles, pf), np
+            _cache_put(sel_cache_key, sel_stacked)
+        else:
+            sel_stacked = cached_sel
 
     if use_pallas:
         # (k_pad, trp) carry planes, merged in-kernel per tile (the same

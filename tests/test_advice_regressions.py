@@ -131,3 +131,60 @@ def test_depop_scalar_raises_value_error():
         validate_s_plus_inputs(
             m, m, "bogus", "none", 5, None, None, None, False, "coo"
         )
+
+
+def test_selector_cache_detects_filter_mutation():
+    """The stacked selector tiles are cached by full-content fingerprint
+    (executor.py sel_cache_key); an in-place mutation of the filter
+    matrix's pattern between calls must never be served stale results."""
+    rng = np.random.default_rng(21)
+    m1 = sp.random_array((60, 30), density=0.2, format="csr",
+                         dtype=np.float32, random_state=rng)
+    m2 = sp.random_array((30, 40), density=0.2, format="csr",
+                         dtype=np.float32, random_state=rng)
+    # one excluded column per row, same nnz so the mutation is in-place
+    rows = np.arange(60)
+    filt = sp.csr_matrix(
+        (np.ones(60, np.float32), (rows, np.full(60, 3))), shape=(60, 40)
+    )
+    out1 = sim.dot_product(
+        m1, m2, k=40, filter_cols=filt, verbose=VERBOSE
+    ).tocsr()
+    assert np.all(out1[:, 3].toarray() == 0)
+    filt.indices[:] = 7  # same pattern shape, different excluded column
+    out2 = sim.dot_product(
+        m1, m2, k=40, filter_cols=filt, verbose=VERBOSE
+    ).tocsr()
+    assert np.all(out2[:, 7].toarray() == 0)
+    # column 3 is allowed again wherever it has a nonzero score
+    ref = sim.dot_product(m1, m2, k=40, verbose=VERBOSE).tocsr()
+    np.testing.assert_allclose(
+        out2[:, 3].toarray(), ref[:, 3].toarray(), rtol=1e-5
+    )
+
+
+def test_foreign_cache_bytes_accounting():
+    """foreign_cache_bytes counts device bytes of entries for OTHER
+    matrices and excludes entries keyed by the given fingerprints —
+    the planner input that fixed the ML-32M model-build-then-score OOM."""
+    from similaripy_tpu.engine import executor as ex
+
+    sim.clear_caches()
+    rng = np.random.default_rng(5)
+    a = sp.random_array((50, 30), density=0.2, format="csr",
+                        dtype=np.float32, random_state=rng)
+    b = sp.random_array((40, 30), density=0.2, format="csr",
+                        dtype=np.float32, random_state=rng)
+    sim.dot_product(a, b.T.tocsr(), k=5, verbose=VERBOSE)
+    assert ex._DEVICE_CACHE, "expected device-cache entries after a call"
+    # with no fingerprints kept, everything cached is foreign
+    total = ex.foreign_cache_bytes(())
+    assert total > 0
+    # keeping every fingerprint present in the keys excludes everything
+    fps = {
+        part for key in ex._DEVICE_CACHE for part in key
+        if isinstance(part, str) and len(part) == 40  # sha1 hex digests
+    }
+    assert ex.foreign_cache_bytes(tuple(fps)) == 0
+    sim.clear_caches()
+    assert ex.foreign_cache_bytes(()) == 0
