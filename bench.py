@@ -129,14 +129,11 @@ def main():
     # measurement: the cache DOES serve the Mosaic sweep programs, so an
     # unchanged tree's round 0 collapses from ~270s to near-warm. Kept
     # inside the repo so it survives /tmp cleanup between sessions.
-    os.environ.setdefault(
-        "JAX_COMPILATION_CACHE_DIR",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-    )
-    import jax
+    from similaripy_tpu.utils.env import enable_persistent_compile_cache
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    enable_persistent_compile_cache(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    )
 
     ensure_kernel_stamp()
 

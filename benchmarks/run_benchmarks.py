@@ -118,6 +118,16 @@ def main(argv=None):
                         "accuracy)")
     args = p.parse_args(argv)
 
+    # same persistent compile cache as bench.py: model-build programs at
+    # benchmark scales cost minutes to compile through the tunnel and
+    # seconds to deserialize
+    from similaripy_tpu.utils.env import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".jax_cache")
+    )
+
     info = system_info()
     print(f"# backend: {info.get('backend')}, devices: {info.get('devices')}")
 

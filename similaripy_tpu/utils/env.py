@@ -36,6 +36,21 @@ def device_count() -> int:
     return jax.device_count()
 
 
+def enable_persistent_compile_cache(path: str) -> None:
+    """Point JAX's persistent compilation cache at `path`.
+
+    Through the tunneled backend a cold compile of a big program costs
+    minutes; cached programs deserialize in seconds. Call before the first
+    jit dispatch. An existing JAX_COMPILATION_CACHE_DIR env var wins, so
+    users can redirect or share the cache."""
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", path)
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+    )
+
+
 def hbm_budget_bytes() -> int:
     """Usable HBM budget for tile planning.
 
