@@ -134,6 +134,7 @@ def main():
     enable_persistent_compile_cache(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     )
+    import jax
 
     ensure_kernel_stamp()
 
