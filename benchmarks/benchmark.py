@@ -55,6 +55,15 @@ def system_info() -> dict:
     return info
 
 
+def _validate_rounds(rounds: int, warmup: int) -> None:
+    # rounds=0 would crash statistics.mean on an empty list (and warmup=0
+    # too would leave `out` None); fail fast with a clear message instead
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    if warmup < 0:
+        raise ValueError(f"warmup must be >= 0, got {warmup}")
+
+
 @dataclass
 class BenchmarkResult:
     name: str
@@ -90,6 +99,7 @@ def benchmark_similarity(
     """Time `sim_fn(matrix, k=k, **kwargs)` like the reference does
     (reference: tests/benchmarks/benchmark.py:160-189): wall-clock around
     the call only, dataset prep excluded, rounds averaged."""
+    _validate_rounds(rounds, warmup)
     res = BenchmarkResult(name=name, k=k, rounds=rounds)
     res.n_rows, res.n_cols = matrix.shape[0], matrix.shape[0]
     res.input_nnz = matrix.nnz
@@ -140,6 +150,7 @@ def benchmark_scoring(
     cell 37 and README.md:86-94: `dot_product(urm, W.T, k,
     filter_cols=urm)`). Throughput is USERS scored per second; the
     similarity-model build is the caller's (untimed) responsibility."""
+    _validate_rounds(rounds, warmup)
     res = BenchmarkResult(name=name, k=k, rounds=rounds)
     res.n_rows, res.n_cols = urm.shape
     res.input_nnz = urm.nnz

@@ -83,6 +83,20 @@ def write_reports(results, args, info, provenance, out_dir):
     return base + ".json"
 
 
+def _positive_int(s):
+    v = int(s)
+    if v < 1:
+        raise argparse.ArgumentTypeError(f"must be >= 1, got {v}")
+    return v
+
+
+def _nonneg_int(s):
+    v = int(s)
+    if v < 0:
+        raise argparse.ArgumentTypeError(f"must be >= 0, got {v}")
+    return v
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--dataset", default="synthetic_small", choices=sorted(DATASETS))
@@ -104,8 +118,8 @@ def main(argv=None):
     p.add_argument("--scoring-k", type=int, default=10,
                    help="recommendations per user in --stage scoring "
                         "(the model build uses --k)")
-    p.add_argument("--rounds", type=int, default=3)
-    p.add_argument("--warmup", type=int, default=1)
+    p.add_argument("--rounds", type=_positive_int, default=3)
+    p.add_argument("--warmup", type=_nonneg_int, default=1)
     p.add_argument("--output-dir", default="reports")
     p.add_argument("--profile-dir", default=None,
                    help="dump a jax.profiler trace here")

@@ -507,6 +507,7 @@ def execute_compact(
     )
     cached = ex._cache_get(m1_key)
     if cached is None:
+        ex._evict_stale("compact_m1", pre.fp1, m1_key)
         m1_t = m1[targets]
         if compute_dtype in ("int8", "int4"):
             m1_t.data = np.rint(m1_t.data * pre.qscale1).astype(np.float32)
@@ -572,6 +573,7 @@ def execute_compact(
     )
     cached = ex._cache_get(m2_key)
     if cached is None:
+        ex._evict_stale("compact_m2", pre.fp2, m2_key)
         m2_csc = csc_quantized(
             m2, pre.qscale2 if compute_dtype in ("int8", "int4") else None
         )

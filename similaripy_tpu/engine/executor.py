@@ -517,14 +517,67 @@ _DEVICE_CACHE: dict = {}
 _DEVICE_CACHE_CAP = 8
 
 
+# host-resident entries (the "sel" selector stacks are np arrays, not
+# jax.Arrays) are bounded by bytes, not count: a single ML-32M filter
+# stack is hundreds of MB and foreign_cache_bytes rightly ignores host
+# memory, so nothing else prunes them
+_HOST_CACHE_MAX_BYTES = int(
+    float(os.environ.get("SIMILARIPY_TPU_HOST_CACHE_MB", "2048")) * (1 << 20)
+)
+
+_MISS = object()
+
+
 def _cache_get(key):
-    return _DEVICE_CACHE.get(key)
+    value = _DEVICE_CACHE.pop(key, _MISS)
+    if value is _MISS:
+        return None
+    _DEVICE_CACHE[key] = value  # reinsert at the end: eviction becomes LRU
+    return value
+
+
+def _host_bytes(value) -> int:
+    total = 0
+    stack = [value]
+    while stack:
+        v = stack.pop()
+        if isinstance(v, dict):
+            stack.extend(v.values())
+        elif isinstance(v, (list, tuple)):
+            stack.extend(v)
+        elif isinstance(v, np.ndarray):
+            total += v.nbytes
+    return total
 
 
 def _cache_put(key, value):
     if len(_DEVICE_CACHE) >= _DEVICE_CACHE_CAP:
         _DEVICE_CACHE.pop(next(iter(_DEVICE_CACHE)))
     _DEVICE_CACHE[key] = value
+    # enforce the host-byte budget over np-holding entries (oldest first,
+    # never the one just inserted)
+    host_keys = [
+        k for k, v in _DEVICE_CACHE.items() if _host_bytes(v) > 0
+    ]
+    while len(host_keys) > 1 and sum(
+        _host_bytes(_DEVICE_CACHE[k]) for k in host_keys
+    ) > _HOST_CACHE_MAX_BYTES:
+        _DEVICE_CACHE.pop(host_keys.pop(0), None)
+
+
+def _evict_stale(tag: str, fp, keep_key) -> None:
+    """Drop `tag` entries for the same matrix fingerprint under a different
+    key (stale geometry/dtype variants). foreign_cache_bytes excludes every
+    same-fingerprint key from the planner's reserve, so a stale variant
+    would otherwise hold unbudgeted multi-GB HBM right when the fresh stack
+    uploads; evicting here frees the bytes exactly when they are needed."""
+    stale = [
+        k for k in _DEVICE_CACHE
+        if isinstance(k, tuple) and k and k[0] == tag
+        and fp in k and k != keep_key
+    ]
+    for k in stale:
+        _DEVICE_CACHE.pop(k, None)
 
 
 def clear_device_cache():
@@ -540,7 +593,13 @@ def foreign_cache_bytes(keep_fps: tuple) -> int:
     planning as if that HBM were free OOMed a full-ML-32M scoring call.
     Entries whose key mentions any of `keep_fps` (this call's input
     fingerprints) are the ones the call itself will reuse, so they are
-    excluded; everything else is counted so the planner leaves room."""
+    excluded; everything else is counted so the planner leaves room.
+
+    A same-fingerprint entry staged under a DIFFERENT geometry (other
+    tc/n_tiles/u_pad/compute_dtype) is also excluded here even though the
+    call won't reuse it — that is safe because every cache-miss branch
+    calls _evict_stale before uploading its fresh stacks, so the stale
+    variant's bytes are released before the planned allocation lands."""
     import jax
 
     total = 0
@@ -995,6 +1054,7 @@ def execute(
     )
     cached = _cache_get(m2_key)
     if cached is None:
+        _evict_stale("m2", pre.fp2, m2_key)
         # exact integerization; f32->int8 casts on device are lossless
         m2_csc = csc_quantized(
             m2, pre.qscale2 if compute_dtype in ("int8", "int4") else None
@@ -1051,6 +1111,7 @@ def execute(
     )
     cached = _cache_get(m1_key)
     if cached is None:
+        _evict_stale("m1", pre.fp1, m1_key)
         m1_t = m1[targets]
         if compute_dtype in ("int8", "int4"):
             m1_t.data = np.rint(m1_t.data * pre.qscale1).astype(np.float32)
@@ -1111,6 +1172,7 @@ def execute(
         )
         cached_sel = _cache_get(sel_cache_key)
         if cached_sel is None:
+            _evict_stale("sel", pre.fp1, sel_cache_key)
             fil_t = pre.filter_matrix[targets] if has_filter else None
             tgt_t = pre.target_matrix[targets] if has_target else None
             sel_tiles = []

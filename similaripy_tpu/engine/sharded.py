@@ -443,7 +443,7 @@ def _execute_sharded_grouped(
     from jax.sharding import NamedSharding
 
     from .executor import (
-        _cache_get, _cache_put, _fingerprint, _pallas_enabled,
+        _cache_get, _cache_put, _evict_stale, _fingerprint, _pallas_enabled,
         _stack_m2_tiles_balanced, _vec_by_map, balance_columns,
     )
     from .pallas_kernels import DEFAULT_TC, KB, TM
@@ -506,6 +506,7 @@ def _execute_sharded_grouped(
 
     cached = _cache_get(m2_key)
     if cached is None:
+        _evict_stale(m2_key[0], pre.fp2, m2_key)
         m2_csc = csc_quantized(
             m2, pre.qscale2 if compute_dtype in ("int8", "int4") else None
         )
@@ -568,6 +569,7 @@ def _execute_sharded_grouped(
     )
     cached = _cache_get(m1_key)
     if cached is None:
+        _evict_stale("sh_m1", pre.fp1, m1_key)
         m1_t = m1[targets]
         if compute_dtype in ("int8", "int4"):
             m1_t.data = np.rint(m1_t.data * pre.qscale1).astype(np.float32)

@@ -497,9 +497,6 @@ def execute_symmetric_sharded(
     import time as _time_mod
 
     from .executor import (
-        _cache_get,
-        _cache_put,
-        _fingerprint,
         _pallas_enabled,
         build_pvec,
         resolve_compute_dtype,

@@ -768,7 +768,7 @@ def cached_prep_symmetric(pre: Preprocessed, compute_dtype: str, tc: int,
     turn host dicts into device dicts (plain upload vs mesh-replicated,
     with any padding the executor needs). Returns (dev_coo, vecs,
     item_map)."""
-    from .executor import _cache_get, _cache_put, _fingerprint
+    from .executor import _cache_get, _cache_put, _evict_stale, _fingerprint
 
     coo_key = (
         "sym_coo", key_tag, pre.fp2,
@@ -778,6 +778,7 @@ def cached_prep_symmetric(pre: Preprocessed, compute_dtype: str, tc: int,
     )
     cached = _cache_get(coo_key)
     if cached is None:
+        _evict_stale("sym_coo", pre.fp2, coo_key)
         coo_host, item_map = prep_coo_symmetric(
             pre, compute_dtype, tc, n_tiles_dev, u_pad, mxu
         )
@@ -855,7 +856,23 @@ def execute_symmetric(
     # around them instead of on top of them
     from .executor import foreign_cache_bytes
 
-    budget = max(budget // 4, budget - foreign_cache_bytes((pre.fp1, pre.fp2)))
+    foreign = foreign_cache_bytes((pre.fp1, pre.fp2))
+    if foreign > (budget * 3) // 4:
+        # the plan is floored at 25% of the budget; if the foreign entries
+        # genuinely occupy HBM the floored plan can still OOM — surface it
+        # so build-then-score OOMs are diagnosable (clear via
+        # similaripy_tpu.engine.executor.clear_caches())
+        import warnings
+
+        warnings.warn(
+            f"device cache holds {foreign / 2**30:.1f} GiB of other "
+            f"matrices' uploads (> 75% of the {budget / 2**30:.1f} GiB HBM "
+            "budget); planning with a floored 25% budget — call "
+            "similaripy_tpu.clear_caches() if this call OOMs",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    budget = max(budget // 4, budget - foreign)
 
     # fused dual-sided kernel (pallas_kernels.fused_sym_topk): f32-HIGH
     # runs it in split-bf16x3 mode (XLA-HIGH accuracy at ~2x Mosaic's

@@ -163,6 +163,112 @@ def test_selector_cache_detects_filter_mutation():
     )
 
 
+def test_device_cache_is_lru():
+    """Round-3 advisor: eviction was insertion-order FIFO — a hot entry
+    re-read every call could be evicted while colder entries survived.
+    _cache_get must refresh recency."""
+    from similaripy_tpu.engine import executor as ex
+
+    sim.clear_caches()
+    try:
+        for i in range(ex._DEVICE_CACHE_CAP):
+            ex._cache_put(("t", i), i)
+        assert ex._cache_get(("t", 0)) == 0  # touch the oldest
+        ex._cache_put(("t", "new"), 99)  # one over cap
+        assert ex._cache_get(("t", 0)) == 0, "hot entry was evicted"
+        assert ex._cache_get(("t", 1)) is None, "LRU entry survived"
+    finally:
+        sim.clear_caches()
+
+
+def test_evict_stale_drops_other_geometries():
+    """Round-3 advisor: a same-matrix entry staged under a different
+    geometry holds unbudgeted HBM the planner never accounts for; the
+    miss path must evict it before uploading the fresh stack."""
+    from similaripy_tpu.engine import executor as ex
+
+    sim.clear_caches()
+    try:
+        fp = "a" * 40
+        other_fp = "b" * 40
+        ex._cache_put(("m2", fp, "x", "float32", 512, 2, 128), 1)
+        ex._cache_put(("m2", fp, "x", "int8", 1024, 4, 256), 2)
+        ex._cache_put(("m2", other_fp, "x", "int8", 1024, 4, 256), 3)
+        keep = ("m2", fp, "x", "int8", 1024, 4, 256)
+        ex._evict_stale("m2", fp, keep)
+        assert ex._cache_get(("m2", fp, "x", "float32", 512, 2, 128)) is None
+        assert ex._cache_get(keep) == 2
+        assert ex._cache_get(("m2", other_fp, "x", "int8", 1024, 4, 256)) == 3
+    finally:
+        sim.clear_caches()
+
+
+def test_host_cache_byte_budget(monkeypatch):
+    """Round-3 advisor: host-resident selector stacks (np arrays) were only
+    count-capped; a handful of ML-32M-scale stacks could pin several GB of
+    host RAM. They are now bounded by bytes (oldest evicted first, the
+    newest always kept)."""
+    from similaripy_tpu.engine import executor as ex
+
+    sim.clear_caches()
+    monkeypatch.setattr(ex, "_HOST_CACHE_MAX_BYTES", 1000)
+    try:
+        big = np.zeros(150, np.float64)  # 1200 bytes each
+        ex._cache_put(("sel", "one"), {"fil_rows": big})
+        ex._cache_put(("dev", "x"), 42)  # non-host entries are untouched
+        ex._cache_put(("sel", "two"), {"fil_rows": big.copy()})
+        assert ex._cache_get(("sel", "one")) is None, "oldest sel survived"
+        assert ex._cache_get(("sel", "two")) is not None
+        assert ex._cache_get(("dev", "x")) == 42
+    finally:
+        sim.clear_caches()
+
+
+def test_symmetric_budget_floor_warns(monkeypatch):
+    """Round-3 advisor: when foreign cached uploads exceed 75% of the HBM
+    budget the symmetric planner silently floors at budget//4 — it must
+    warn so build-then-score OOMs are diagnosable."""
+    import warnings
+
+    import jax.numpy as jnp
+
+    from similaripy_tpu.engine import executor as ex
+
+    sim.clear_caches()
+    monkeypatch.setenv("SIMILARIPY_TPU_HBM_BYTES", str(64 << 20))
+    m = sp.random_array((30, 20), density=0.3, format="csr",
+                        dtype=np.float32, random_state=np.random.default_rng(3))
+    try:
+        # 56 MB foreign device entry (> 75% of the 64 MB budget)
+        ex._cache_put(("m2", "f" * 40, "geom"),
+                      jnp.zeros((14 << 20,), jnp.float32))
+        with pytest.warns(RuntimeWarning, match="other matrices"):
+            sim.cosine(m, k=5, verbose=VERBOSE)
+        sim.clear_caches()
+        # below the threshold: no warning
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", RuntimeWarning)
+            sim.cosine(m, k=5, verbose=VERBOSE)
+    finally:
+        sim.clear_caches()
+
+
+def test_benchmark_rejects_zero_rounds():
+    """Round-3 advisor: rounds=0 crashed statistics.mean of an empty list."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent.parent))
+    from benchmarks.benchmark import benchmark_scoring, benchmark_similarity
+
+    m = sp.identity(4, format="csr", dtype=np.float32)
+    with pytest.raises(ValueError, match="rounds"):
+        benchmark_similarity(sim.cosine, m, name="x", k=2, rounds=0)
+    with pytest.raises(ValueError, match="rounds"):
+        benchmark_scoring(lambda u, k, **kw: u, m, name="x", k=2, rounds=0)
+    with pytest.raises(ValueError, match="warmup"):
+        benchmark_similarity(sim.cosine, m, name="x", k=2, rounds=1, warmup=-1)
+
+
 def test_foreign_cache_bytes_accounting():
     """foreign_cache_bytes counts device bytes of entries for OTHER
     matrices and excludes entries keyed by the given fingerprints —
