@@ -229,6 +229,16 @@ def main():
         ("gen filter+target masks int8",
          lambda: sim.cosine(m, m.T.tocsr(), k=50, filter_cols=filt,
                             target_cols=tgt, verbose=False), 0),
+        # one-sided split modes (round 4): integer x float operands run
+        # the 2-phase 'rhs'/'lhs' K sweep — the scoring-call shape
+        ("gen f32-high rhs-split (int x float)",
+         lambda: sim.dot_product(m, mf.T.tocsr(), k=50,
+                                 compute_dtype="float32", precision="high",
+                                 verbose=False), 1e-4),
+        ("gen f32-high lhs-split (float x int)",
+         lambda: sim.dot_product(mf, m.T.tocsr(), k=50,
+                                 compute_dtype="float32", precision="high",
+                                 verbose=False), 1e-4),
     ]
     if quick:
         sym_variants = sym_variants[:2]

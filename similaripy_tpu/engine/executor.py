@@ -240,6 +240,34 @@ def scatter_mask(shape, rows, cols):
     return buf != 0
 
 
+_BF16_EXACT_CACHE: dict = {}
+
+
+def _bf16_exact(fp, data) -> bool:
+    """True when every value of `data` is exactly bf16-representable.
+
+    Integer-valued operands qualify (ratings, binary interactions, counts
+    below 257): their lo-half in the split_bf16x3 decomposition is all
+    zeros, so the fused f32-HIGH path can skip that operand's lo phase —
+    one fewer matmul phase on a scoring call where m1=URM is integer and
+    only m2=W.T is float (see pallas_kernels._split_maps). Exactness is
+    judged against the f32-cast values the engine actually feeds the MXU.
+    Memoized by content fingerprint; the check itself is O(nnz) on host.
+    """
+    hit = _BF16_EXACT_CACHE.get(fp)
+    if hit is None:
+        import ml_dtypes
+
+        d32 = np.asarray(data, dtype=np.float32)
+        hit = bool(
+            np.array_equal(d32.astype(ml_dtypes.bfloat16).astype(np.float32), d32)
+        )
+        if len(_BF16_EXACT_CACHE) > 64:
+            _BF16_EXACT_CACHE.clear()
+        _BF16_EXACT_CACHE[fp] = hit
+    return hit
+
+
 def panel_forward(
     m1_rows,
     m1_cols,
@@ -343,17 +371,21 @@ def _densify_group_into(arena, rows, cols, vals, *, u_pad: int, tc: int,
 
 @partial(jax.jit, static_argnames=("u_pad", "tc", "compute_dtype", "split"))
 def _densify_group(rows, cols, vals, *, u_pad: int, tc: int,
-                   compute_dtype: str, split: bool = False):
+                   compute_dtype: str, split=False):
     """(G, p2) COO arrays -> (G, u_pad, tc) dense tiles (sequential map to
-    bound the bf16-scatter transient to one tile). With `split` each tile
-    leaves as a split_bf16x3 (2*u_pad, tc) stack for the fused kernel's
-    3-phase f32-HIGH mode (same bytes as f32)."""
+    bound the bf16-scatter transient to one tile). `split` selects the
+    fused f32-HIGH representation of this (tile) side: True/'split' leaves
+    each tile as a split_bf16x3 (2*u_pad, tc) stack for the phased K sweep
+    (same bytes as f32); 'cast' leaves a plain bf16 tile (this side's
+    values are exactly bf16-representable, so its lo half would be zero —
+    the kernel's 'lhs' mode skips it entirely)."""
     cdt, _ = compute_cast(compute_dtype)
 
     def one(args):
         r, c, v = args
-        t = densify((u_pad, tc), r, c, v, cdt)
-        if split:
+        t = densify((u_pad, tc), r, c, v,
+                    jnp.bfloat16 if split == "cast" else cdt)
+        if split in (True, "split"):
             from .pallas_kernels import split_bf16x3
 
             t = split_bf16x3(t, axis=0)
@@ -415,9 +447,13 @@ def _run_group_panels(
 
     def panel_step(_, pxs):
         m1_dense = densify(
-            (trp, u_pad), pxs["pr"], pxs["pc"], pxs["pv"], cdt
+            (trp, u_pad), pxs["pr"], pxs["pc"], pxs["pv"],
+            # 'rhs' mode: this (panel) side is exactly bf16-representable —
+            # a plain bf16 stack, no lo half (half the panel bytes, and the
+            # kernel sweeps only the rhs hi/lo phases)
+            jnp.bfloat16 if f32x3 == "rhs" else cdt,
         )
-        if f32x3:
+        if f32x3 in (True, "both", "lhs"):
             from .pallas_kernels import split_bf16x3
 
             m1_dense = split_bf16x3(m1_dense, axis=1)
@@ -978,10 +1014,23 @@ def execute(
 
     # ---- fused-kernel alignment + group sizing ----
     use_pallas = _pallas_enabled()
-    # f32-HIGH runs the fused kernel in split-bf16x3 mode: the 3-phase K
+    # f32-HIGH runs the fused kernel in split-bf16x3 mode: the phased K
     # sweep reproduces XLA HIGH's bf16x3 (~f32 accuracy) at the bf16 MXU
-    # rate / 3 — ~2x Mosaic's forced-HIGHEST — while keeping the fusion
-    f32x3 = use_pallas and compute_dtype == "float32" and precision == "high"
+    # rate / phases — ~2x Mosaic's forced-HIGHEST — while keeping the
+    # fusion. When one operand is exactly bf16-representable (integer URM
+    # ratings on a scoring call's m1, binary interactions, ...), its lo
+    # half is identically zero: skip that phase ('rhs'/'lhs', 2 phases
+    # instead of 3 — 1/3 less MXU time and rhs DMA). Both exact: a single
+    # plain-bf16 phase already IS f32-HIGH (bf16 products are exact in the
+    # f32 accumulator), so ride the existing bfloat16 mode outright.
+    f32x3 = False
+    if use_pallas and compute_dtype == "float32" and precision == "high":
+        m1_exact = _bf16_exact(pre.fp1, m1.data)
+        m2_exact = _bf16_exact(pre.fp2, m2.data)
+        if m1_exact and m2_exact:
+            compute_dtype = "bfloat16"
+        else:
+            f32x3 = "rhs" if m1_exact else ("lhs" if m2_exact else "both")
     k_pad = k
     # smaller panels leave more HBM for resident tile groups (each extra
     # group costs a full matrix1 re-scatter), so cap the panel height
@@ -1226,7 +1275,7 @@ def execute(
         print(
             f"# plan: trp={trp} tc={tc} u_pad={u_pad} n_panels={n_panels} "
             f"g_tiles={g_tiles} n_groups={n_groups} dtype={compute_dtype} "
-            f"pallas={use_pallas} k_pad={k_pad} "
+            f"pallas={use_pallas} k_pad={k_pad} f32x3={f32x3} "
             f"prep: {_time.perf_counter() - _t_enter:.2f}s",
             file=sys.stderr, flush=True,
         )
@@ -1243,6 +1292,12 @@ def execute(
             print(f"# {label}: {now - _t_mark:.2f}s", file=sys.stderr, flush=True)
             _t_mark = now
 
+    # the tile (rhs) side's f32-HIGH representation: split stack for
+    # 'both'/'rhs', plain bf16 for 'lhs' (its values are bf16-exact there)
+    d_split = (
+        "split" if f32x3 in ("both", "rhs")
+        else "cast" if f32x3 == "lhs" else False
+    )
     d_stack = None
     for g in range(n_groups):
         t0, t1 = g * g_tiles, (g + 1) * g_tiles
@@ -1254,7 +1309,7 @@ def execute(
         if d_stack is None:
             d_stack = _densify_group(
                 *group_coo, u_pad=u_pad, tc=tc,
-                compute_dtype=compute_dtype, split=f32x3,
+                compute_dtype=compute_dtype, split=d_split,
             )
         else:
             # retire the previous group's stack into this one's densify —
@@ -1262,7 +1317,7 @@ def execute(
             # one stack; the stream orders the overwrite after its readers)
             d_stack = _densify_group_into(
                 d_stack, *group_coo, u_pad=u_pad, tc=tc,
-                compute_dtype=compute_dtype, split=f32x3,
+                compute_dtype=compute_dtype, split=d_split,
             )
         if timing:
             _lap(f"group {g} densify", d_stack)

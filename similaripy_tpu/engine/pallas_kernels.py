@@ -101,20 +101,35 @@ def split_bf16x3(x, axis: int):
     return jnp.concatenate([hi, lo], axis=axis)
 
 
-def _split_maps(n_k: int):
-    """(a_sel, d_sel) K-block index maps for the 3-phase bf16x3 sweep.
+def _split_maps(n_k: int, mode: str = "both"):
+    """(phases, a_sel, d_sel) K-block index maps for the bf16x3 K sweep.
 
-    Grid runs kk in [0, 3*n_k): phase 0 = hi@hi, 1 = lo@hi, 2 = hi@lo.
-    The lhs reads its lo half (blocks n_k..2*n_k) in phase 1, the rhs in
-    phase 2; the accumulator/epilogue logic is untouched because only
-    num_programs changes."""
-    def a_sel(kk):
-        return kk % n_k + (kk // n_k % 2) * n_k
+    mode='both' (3 phases): grid runs kk in [0, 3*n_k): phase 0 = hi@hi,
+    1 = lo@hi, 2 = hi@lo. The lhs reads its lo half (blocks n_k..2*n_k)
+    in phase 1, the rhs in phase 2.
 
-    def d_sel(kk):
-        return kk % n_k + (kk // n_k // 2) * n_k
+    mode='rhs'/'lhs' (2 phases): ONE operand is exactly bf16-representable
+    (its lo half would be all zeros — e.g. integer-valued URM ratings on
+    the lhs of a scoring call), so it arrives UNSPLIT and only the float
+    side sweeps hi then lo: hi@hi + hi@lo. Same accuracy as the 3-phase
+    form (the dropped phase contributes exact zeros), 2/3 the MXU time
+    and 2/3 the split-side DMA traffic.
 
-    return a_sel, d_sel
+    The accumulator/epilogue logic is untouched in every mode because
+    only num_programs changes."""
+    if mode == "both":
+        def a_sel(kk):
+            return kk % n_k + (kk // n_k % 2) * n_k
+
+        def d_sel(kk):
+            return kk % n_k + (kk // n_k // 2) * n_k
+
+        return 3, a_sel, d_sel
+    if mode == "rhs":  # lhs exact (unsplit stack); rhs = [hi; lo]
+        return 2, (lambda kk: kk % n_k), (lambda kk: kk)
+    if mode == "lhs":  # rhs exact (unsplit stack); lhs = [hi; lo]
+        return 2, (lambda kk: kk), (lambda kk: kk % n_k)
+    raise ValueError(f"unknown split mode {mode!r}")
 
 
 def _epilogue_val(
@@ -525,7 +540,7 @@ def fused_tile_topk(
     k_pad: int,
     int8_mode: bool,
     precision,
-    split_f32: bool = False,
+    split_f32=False,  # False | True/'both' | 'rhs' | 'lhs'
     interpret: bool = False,
 ):
     """Returns (vals, idx) of shape (k_pad, trp): per-row top-k_pad of the
@@ -536,14 +551,21 @@ def fused_tile_topk(
     per-row kth), so the caller scans tiles by feeding each call's output
     to the next — no XLA merge chain per tile.
 
-    With `split_f32` the operands arrive as split_bf16x3 stacks (K axis
-    doubled) and the K sweep runs 3 phases — XLA-HIGH accuracy at ~2x the
-    Mosaic-HIGHEST rate."""
+    With `split_f32` the float operands arrive as split_bf16x3 stacks
+    (K axis doubled) and the K sweep runs phased — XLA-HIGH accuracy at
+    ~2x the Mosaic-HIGHEST rate. 'both' (or True) splits both operands
+    (3 phases); 'rhs'/'lhs' split only that operand (2 phases), the other
+    arriving as a plain bf16 stack because its values are exactly
+    bf16-representable (see _split_maps)."""
+    split_mode = "both" if split_f32 is True else split_f32
     trp, u_pad = m1_dense.shape
-    if split_f32:
+    if split_mode in ("both", "lhs"):
         u_pad //= 2
     tc = d.shape[1]
     assert trp % TM == 0 and u_pad % KB == 0, (trp, u_pad)
+    if split_mode:
+        d_k = 2 * u_pad if split_mode in ("both", "rhs") else u_pad
+        assert d.shape[0] == d_k, (d.shape, split_mode, u_pad)
 
     if precision == jax.lax.Precision.HIGH:
         # Mosaic implements only DEFAULT and HIGHEST; precision is a
@@ -553,13 +575,14 @@ def fused_tile_topk(
         precision = jax.lax.Precision.HIGHEST
 
     n_k = u_pad // KB
-    grid = (trp // TM, 3 * n_k if split_f32 else n_k)
     acc_dtype = jnp.int32 if int8_mode else jnp.float32
 
-    if split_f32:
-        a_sel, d_sel = _split_maps(n_k)
+    if split_mode:
+        phases, a_sel, d_sel = _split_maps(n_k, split_mode)
     else:
+        phases = 1
         a_sel = d_sel = lambda kk: kk
+    grid = (trp // TM, phases * n_k)
     in_specs = [
         pl.BlockSpec((TM, KB), lambda m, kk: (m, a_sel(kk))),
         pl.BlockSpec((KB, tc), lambda m, kk: (d_sel(kk), 0)),
@@ -1001,7 +1024,9 @@ def fused_sym_topk(
     acc_dtype = jnp.int32 if int8_mode else jnp.float32
 
     if split_f32:
-        a_sel, d_sel = _split_maps(n_k)
+        # self-similarity: both sides are the same (float) matrix, so the
+        # one-sided 'rhs'/'lhs' modes never apply here
+        _, a_sel, d_sel = _split_maps(n_k, "both")
     else:
         a_sel = d_sel = lambda kk: kk
     mpt = tc // tm  # row blocks per anchor tile

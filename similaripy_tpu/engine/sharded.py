@@ -288,8 +288,12 @@ def _run_sharded_group(
         }
         cv, ci = carry_vals[0, 0], carry_idx[0, 0]
 
-        m1_dense = densify((trp, u_pad), m1_rows, m1_cols, m1_vals, cdt)
-        if f32x3:
+        m1_dense = densify(
+            (trp, u_pad), m1_rows, m1_cols, m1_vals,
+            # 'rhs': panel values are bf16-exact — plain bf16, no lo half
+            jnp.bfloat16 if f32x3 == "rhs" else cdt,
+        )
+        if f32x3 in (True, "both", "lhs"):
             from .pallas_kernels import split_bf16x3
 
             m1_dense = split_bf16x3(m1_dense, axis=1)
@@ -456,8 +460,18 @@ def _execute_sharded_grouped(
 
     compute_dtype, inv_scale = resolve_compute_dtype(compute_dtype, pre)
     use_pallas = _pallas_enabled()
-    # f32-HIGH rides the fused kernel in split-bf16x3 mode (see executor.py)
-    f32x3 = use_pallas and compute_dtype == "float32" and precision == "high"
+    # f32-HIGH rides the fused kernel in split-bf16x3 mode; one-sided
+    # 'rhs'/'lhs' when only one operand is float (see executor.py)
+    f32x3 = False
+    if use_pallas and compute_dtype == "float32" and precision == "high":
+        from .executor import _bf16_exact
+
+        m1_exact = _bf16_exact(pre.fp1, m1.data)
+        m2_exact = _bf16_exact(pre.fp2, m2.data)
+        if m1_exact and m2_exact:
+            compute_dtype = "bfloat16"
+        else:
+            f32x3 = "rhs" if m1_exact else ("lhs" if m2_exact else "both")
     u_pad = max(_round_up(U, KB), KB)
     tc = DEFAULT_TC if compute_dtype != "float32" else DEFAULT_TC // 2
     tc = min(tc, _round_up(C, 128))
@@ -680,12 +694,16 @@ def _execute_sharded_grouped(
 
     from .executor import _densify_group
 
+    d_split = (
+        "split" if f32x3 in ("both", "rhs")
+        else "cast" if f32x3 == "lhs" else False
+    )
     for g in range(n_groups):
         d_stack = _densify_group(
             tiles_dev["m2_rows"][g],
             tiles_dev["m2_cols"][g],
             tiles_dev["m2_vals"][g],
-            u_pad=u_pad, tc=tc, compute_dtype=compute_dtype, split=f32x3,
+            u_pad=u_pad, tc=tc, compute_dtype=compute_dtype, split=d_split,
         )
         tiles_g = {
             k2: v[g]

@@ -515,6 +515,13 @@ def execute_symmetric_sharded(
     use_pallas = _pallas_enabled()
     # f32-HIGH rides the fused kernel in split-bf16x3 mode (see symmetric.py)
     f32x3 = use_pallas and compute_dtype == "float32" and precision == "high"
+    if f32x3:
+        # both-exact self-sim collapses to plain bf16 (see symmetric.py)
+        from .executor import _bf16_exact
+
+        if _bf16_exact(pre.fp2, m2.data):
+            compute_dtype = "bfloat16"
+            f32x3 = False
     tc, gt, u_pad, dual = _plan(C, U, m2.nnz, compute_dtype, budget,
                                 use_pallas)
     if use_pallas:

@@ -884,6 +884,16 @@ def execute_symmetric(
     f32x3 = (
         use_pallas and compute_dtype == "float32" and precision == "high"
     )
+    if f32x3:
+        # self-similarity: both operands are the same matrix. When its
+        # values are exactly bf16-representable, a single plain-bf16 phase
+        # already IS f32-HIGH (bf16 products are exact in the f32
+        # accumulator) — ride the bfloat16 mode instead of 3 split phases
+        from .executor import _bf16_exact
+
+        if _bf16_exact(pre.fp2, m2.data):
+            compute_dtype = "bfloat16"
+            f32x3 = False
     tc, gt, u_pad, dual = _plan(C, U, m2.nnz, compute_dtype, budget,
                                 use_pallas)
     k_pad = k

@@ -247,6 +247,142 @@ def test_f32x3_vs_full_f32_oracle(matrix, monkeypatch):
     np.testing.assert_allclose(check_sum(got), check_sum(ref), rtol=1e-4)
 
 
+# ---------------------------------------------------------------------------
+# one-sided split modes: when one operand is exactly bf16-representable
+# (integer ratings, binary interactions) its lo half is identically zero, so
+# the f32-HIGH sweep drops that phase ('rhs'/'lhs', 2 phases instead of 3 —
+# the scoring-call shape, where m1=URM is integer and m2=W.T is float)
+# ---------------------------------------------------------------------------
+
+
+def _spy_split_modes(monkeypatch):
+    import similaripy_tpu.engine.pallas_kernels as pk
+
+    seen = []
+    orig = pk._split_maps
+
+    def rec(n_k, mode="both"):
+        seen.append(mode)
+        return orig(n_k, mode)
+
+    monkeypatch.setattr(pk, "_split_maps", rec)
+    return seen
+
+
+def _int_float_pair(seed=7):
+    rng = np.random.default_rng(seed)
+    urm = sp.random_array(
+        (220, 330), density=0.05, format="csr", dtype=np.float32,
+        random_state=rng,
+    )
+    urm.data[:] = np.rint(urm.data * 4) + 1.0  # integer ratings: bf16-exact
+    w = sp.random_array(
+        (330, 180), density=0.08, format="csr", dtype=np.float32,
+        random_state=rng,
+    )  # float weights: not bf16-exact
+    return urm, w
+
+
+def test_f32x3_rhs_mode_arms_and_matches(monkeypatch):
+    """Scoring shape (integer m1 x float m2) uses the 2-phase 'rhs' sweep
+    and agrees with the XLA f32-HIGH path."""
+    urm, w = _int_float_pair()
+    seen = _spy_split_modes(monkeypatch)
+    sim.clear_caches()
+    got = sim.dot_product(urm, w, k=25, compute_dtype="float32",
+                          precision="high", verbose=False)
+    assert seen and set(seen) == {"rhs"}, seen
+    monkeypatch.setenv("SIMILARIPY_TPU_USE_PALLAS", "0")
+    sim.clear_caches()
+    ref = sim.dot_product(urm, w, k=25, compute_dtype="float32",
+                          precision="high", verbose=False)
+    sim.clear_caches()
+    np.testing.assert_allclose(check_sum(got), check_sum(ref), rtol=1e-5)
+
+
+def test_f32x3_lhs_mode_arms_and_matches(monkeypatch):
+    """Transposed shape (float m1 x integer m2) uses the 'lhs' sweep."""
+    urm, w = _int_float_pair(seed=9)
+    wt = w.T.tocsr()  # float lhs
+    urm_t = urm.T.tocsr()  # integer rhs
+    seen = _spy_split_modes(monkeypatch)
+    sim.clear_caches()
+    got = sim.dot_product(wt, urm_t, k=25, compute_dtype="float32",
+                          precision="high", verbose=False)
+    assert seen and set(seen) == {"lhs"}, seen
+    monkeypatch.setenv("SIMILARIPY_TPU_USE_PALLAS", "0")
+    sim.clear_caches()
+    ref = sim.dot_product(wt, urm_t, k=25, compute_dtype="float32",
+                          precision="high", verbose=False)
+    sim.clear_caches()
+    np.testing.assert_allclose(check_sum(got), check_sum(ref), rtol=1e-5)
+
+
+def test_f32x3_both_exact_rides_bf16(monkeypatch):
+    """Both operands bf16-exact but not int8-quantizable (values > 127):
+    f32-HIGH collapses to the plain bfloat16 mode (single phase, exact)."""
+    rng = np.random.default_rng(13)
+    m = sp.random_array((150, 200), density=0.06, format="csr",
+                        dtype=np.float32, random_state=rng)
+    m.data[:] = np.rint(m.data * 60) + 130.0  # 130..190: bf16-exact, >127
+    m2 = m.T.tocsr()
+    seen = _spy_split_modes(monkeypatch)
+    sim.clear_caches()
+    got = sim.dot_product(m, m2, k=20, compute_dtype="float32",
+                          precision="high", verbose=False)
+    assert seen == []  # no split phases at all
+    monkeypatch.setenv("SIMILARIPY_TPU_USE_PALLAS", "0")
+    sim.clear_caches()
+    ref = sim.dot_product(m, m2, k=20, compute_dtype="float32",
+                          precision="high", verbose=False)
+    sim.clear_caches()
+    np.testing.assert_allclose(check_sum(got), check_sum(ref), rtol=1e-5)
+
+
+def test_f32x3_symmetric_both_exact_rides_bf16(monkeypatch):
+    """Self-similarity on bf16-exact (integer) data with explicit
+    f32-HIGH: the symmetric executor collapses to the plain bf16 kernel
+    (no split phases) and still matches the XLA f32-HIGH path."""
+    monkeypatch.setenv("SIMILARIPY_TPU_SYM_TC", "128")
+    rng = np.random.default_rng(17)
+    m = sp.random_array((250, 300), density=0.05, format="csr",
+                        dtype=np.float32, random_state=rng)
+    m.data[:] = np.rint(m.data * 4) + 1.0
+    seen = _spy_split_modes(monkeypatch)
+    sim.clear_caches()
+    got = sim.cosine(m, k=15, compute_dtype="float32", precision="high",
+                     verbose=False)
+    assert seen == []
+    monkeypatch.setenv("SIMILARIPY_TPU_USE_PALLAS", "0")
+    sim.clear_caches()
+    ref = sim.cosine(m, k=15, compute_dtype="float32", precision="high",
+                     verbose=False)
+    sim.clear_caches()
+    np.testing.assert_allclose(check_sum(got), check_sum(ref), rtol=1e-4)
+
+
+def test_f32x3_rhs_vs_numpy_oracle(monkeypatch):
+    """'rhs' accuracy holds against the exact f32 NumPy oracle too."""
+    urm, w = _int_float_pair(seed=21)
+    sim.clear_caches()
+    got = sim.dot_product(urm, w, k=30, compute_dtype="float32",
+                          precision="high", verbose=False)
+    ref = top_k(sp.csr_matrix(urm) @ sp.csr_matrix(w), 30)
+    sim.clear_caches()
+    np.testing.assert_allclose(check_sum(got), check_sum(ref), rtol=1e-4)
+
+
+def test_bf16_exact_detector():
+    from similaripy_tpu.engine.executor import _bf16_exact
+
+    assert _bf16_exact(("t", 1), np.array([1.0, 5.0, 130.0, 256.0], np.float32))
+    assert not _bf16_exact(("t", 2), np.array([0.1], np.float32))
+    assert not _bf16_exact(("t", 3), np.array([257.0], np.float32))  # 9 bits
+    assert _bf16_exact(("t", 4), np.array([], np.float32))  # empty: trivially
+    # f64 values are judged against their f32 cast (what the engine feeds)
+    assert _bf16_exact(("t", 5), np.array([2.0, 64.0], np.float64))
+
+
 def test_pallas_carry_merge_multigroup(monkeypatch):
     """In-kernel carry merge across MULTIPLE resident tile groups on the
     general (explicit matrix2) path: the donated carry planes must thread
