@@ -268,6 +268,88 @@ def _bf16_exact(fp, data) -> bool:
     return hit
 
 
+_FOLD_STAT_CACHE: dict = {}
+
+
+def _exclude_seen_fold(pre, m1, m2, params, compute_dtype, C):
+    """Penalty magnitude for the exclude-seen filter fold, or None.
+
+    ``dot_product(urm, W.T, filter_cols=urm)`` — the recommend() idiom
+    (reference: README.md:86-94, notebook cell 37) — can drop its per-row
+    filter masks entirely by scoring with ``m2' = m2 - M*I``: each seen
+    cell picks up an extra ``-M*r(u,j)`` from the contraction (r > 0),
+    pushing it below any threshold >= 0, while unseen cells add
+    ``0 * (-M) == 0`` — exact even in float. This removes the selector
+    stacking, the per-group mask uploads (~0.5 GB/group at ML-32M scale)
+    and the fmask scatters (~m1.nnz per tile group at XLA's ~25 Mnnz/s)
+    from the scoring stage; the mask becomes MXU algebra.
+
+    Exactness gate (every condition necessary):
+      - the filter's sparsity PATTERN is identical to m1's (the idiom) and
+        m2 is square, so the diagonal aligns contraction item i with
+        output item j;
+      - a denominator-free, power-free, bayes-free epilogue (val = raw
+        xy — exactly dot_product's configuration): with any of those
+        terms a huge negative xy is not guaranteed to stay below the
+        threshold (tversky with t1+t2 < 1 flips the denominator's sign;
+        denom == 0 maps to val = 0 which a COO-format output would keep;
+        fractional powers NaN on negatives), so the fold only arms when
+        val IS xy;
+      - threshold >= 0 prunes the penalized cells: |xy_folded| >=
+        3/4 * M * r > 0 by the bound below, so a penalized cell can
+        neither stay positive nor land on exactly 0;
+      - m1.data > 0 so the penalty has the right sign;
+      - float compute path (the fold would break int8 quantization).
+
+    SIMILARIPY_TPU_FOLD_FILTER=0 disables (the masked path is always
+    available and exact). Scope: the single-device grouped executor; the
+    sharded grouped path keeps masked selectors (they shard naturally and
+    the fold's win is per-group scatter/upload elimination, which the
+    mesh already divides by device count).
+    """
+    fm = pre.filter_matrix
+    if (
+        fm is None
+        or compute_dtype not in ("float32", "bfloat16")
+        or params.use_denominator
+        or params.use_bayes
+        or params.use_pow
+        or params.threshold < 0.0
+        or m1.nnz == 0
+        or m2.shape[0] != m2.shape[1]
+        or C != m2.shape[1]
+        or fm.shape != m1.shape
+        or fm.nnz != m1.nnz
+        or os.environ.get("SIMILARIPY_TPU_FOLD_FILTER", "1") == "0"
+    ):
+        return None
+    # pattern identity: memcmp-speed, run every call (a content memo would
+    # need its own fingerprint pass and save nothing)
+    if not (
+        np.array_equal(fm.indptr, m1.indptr)
+        and np.array_equal(fm.indices, m1.indices)
+    ):
+        return None
+    key = (pre.fp1, pre.fp2, "fold_M")
+    M = _FOLD_STAT_CACHE.get(key)
+    if M is None:
+        rmin = float(m1.data.min()) if m1.nnz else 0.0
+        if rmin <= 0.0:
+            M = 0.0
+        else:
+            max_rowsum = float(np.abs(m1).sum(axis=1).max())
+            max_w = float(np.abs(m2.data).max()) if m2.nnz else 0.0
+            # 4x the largest possible |score| over the smallest rating,
+            # rounded up to a power of two (exactly bf16-representable, so
+            # the split/bf16 paths carry the penalty without rounding)
+            bound = 4.0 * max_rowsum * max(max_w, 1.0) / rmin
+            M = 2.0 ** math.ceil(math.log2(max(bound, 2.0 ** 20)))
+        if len(_FOLD_STAT_CACHE) > 64:
+            _FOLD_STAT_CACHE.clear()
+        _FOLD_STAT_CACHE[key] = M
+    return M if M > 0.0 else None
+
+
 def panel_forward(
     m1_rows,
     m1_cols,
@@ -1031,6 +1113,11 @@ def execute(
             compute_dtype = "bfloat16"
         else:
             f32x3 = "rhs" if m1_exact else ("lhs" if m2_exact else "both")
+    # exclude-seen filter fold: the recommend() idiom's per-row filter
+    # becomes MXU algebra (m2 - M*I) — no selector stacks, uploads or
+    # mask scatters (see _exclude_seen_fold for the exactness gate)
+    fold_M = _exclude_seen_fold(pre, m1, m2, params, compute_dtype, C)
+
     k_pad = k
     # smaller panels leave more HBM for resident tile groups (each extra
     # group costs a full matrix1 re-scatter), so cap the panel height
@@ -1069,7 +1156,8 @@ def execute(
     # the original reserve: 31.5M selector nnz and ~340 MB of carries were
     # unbudgeted next to a 7.6 GB tile stack.
     sel_nnz = (
-        (pre.filter_matrix.nnz if pre.filter_matrix is not None else 0)
+        (pre.filter_matrix.nnz
+         if pre.filter_matrix is not None and fold_M is None else 0)
         + (pre.target_matrix.nnz if pre.target_matrix is not None else 0)
     )
     n_panels_est = math.ceil(T / trp)
@@ -1099,7 +1187,7 @@ def execute(
         "m2",
         pre.fp2,
         _fingerprint(pre.Yt, pre.Yc, pre.Yd, pre.col_allowed),
-        compute_dtype, tc, n_tiles, u_pad,
+        compute_dtype, tc, n_tiles, u_pad, fold_M,
     )
     cached = _cache_get(m2_key)
     if cached is None:
@@ -1108,6 +1196,11 @@ def execute(
         m2_csc = csc_quantized(
             m2, pre.qscale2 if compute_dtype in ("int8", "int4") else None
         )
+        if fold_M is not None:
+            eye = sp.csc_array(
+                sp.identity(C, dtype=np.float32, format="csc")
+            )
+            m2_csc = (m2_csc - fold_M * eye).tocsc()
         col_nnz = np.diff(m2_csc.indptr)
         tile_lists, col_map = balance_columns(col_nnz, n_tiles, tc)
         t_rows, t_cols, t_vals = _stack_m2_tiles_balanced(
@@ -1138,7 +1231,7 @@ def execute(
         tiles_common, col_map, tile_lists = cached
     has_allowed = "allowed" in tiles_common
 
-    has_filter = pre.filter_matrix is not None
+    has_filter = pre.filter_matrix is not None and fold_M is None
     has_target = pre.target_matrix is not None
     pvec = jnp.asarray(build_pvec(params, inv_scale))
 
@@ -1217,6 +1310,9 @@ def execute(
             "sel",
             pre.fp1, pre.fp2, _fingerprint(targets),
             _mat_fp(pre.filter_matrix), _mat_fp(pre.target_matrix),
+            # which selectors are materialized matters: the filter fold
+            # drops the filter stacks while its matrix fp stays in the key
+            has_filter, has_target,
             compute_dtype, trp, tc, n_tiles, u_pad,
         )
         cached_sel = _cache_get(sel_cache_key)
@@ -1276,6 +1372,7 @@ def execute(
             f"# plan: trp={trp} tc={tc} u_pad={u_pad} n_panels={n_panels} "
             f"g_tiles={g_tiles} n_groups={n_groups} dtype={compute_dtype} "
             f"pallas={use_pallas} k_pad={k_pad} f32x3={f32x3} "
+            f"fold={fold_M is not None} "
             f"prep: {_time.perf_counter() - _t_enter:.2f}s",
             file=sys.stderr, flush=True,
         )
