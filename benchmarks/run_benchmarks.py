@@ -24,6 +24,10 @@ import sys
 import time
 from datetime import datetime, timezone
 
+# runnable as a file without installing the package (the repo root is not
+# on sys.path when python is handed benchmarks/run_benchmarks.py)
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
 import similaripy_tpu as sim
 from benchmark import benchmark_scoring, benchmark_similarity, system_info
 from dataset_loaders import DATASETS, load_urm

@@ -1155,9 +1155,14 @@ def execute(
     # A full-ML-32M scoring call (m2 explicit, filter_cols=urm) OOMed with
     # the original reserve: 31.5M selector nnz and ~340 MB of carries were
     # unbudgeted next to a 7.6 GB tile stack.
+    # NOTE: the filter's nnz stays in the reserve even when the fold drops
+    # its masks — the masked plan is the hardware-proven-to-fit geometry
+    # (ML-32M scoring sits within ~1 GB of the practical HBM ceiling), and
+    # under it the folded call strictly reduces real usage (no sel slices
+    # ever upload). Releasing the reserve instead grows g_tiles past the
+    # ceiling: measured ResourceExhausted at full ML-32M scale.
     sel_nnz = (
-        (pre.filter_matrix.nnz
-         if pre.filter_matrix is not None and fold_M is None else 0)
+        (pre.filter_matrix.nnz if pre.filter_matrix is not None else 0)
         + (pre.target_matrix.nnz if pre.target_matrix is not None else 0)
     )
     n_panels_est = math.ceil(T / trp)

@@ -495,6 +495,11 @@ def recommend(
     with each user's already-seen items excluded before the top-k
     (``filter_cols=urm``). Not part of the reference's public API — it is
     sugar over :func:`dot_product` and accepts the same keyword surface.
+    On the single-device path the exclusion runs as the exclude-seen
+    filter fold (no mask materialization — see
+    ``engine.executor._exclude_seen_fold``) whenever its exactness gate
+    holds; pass ``precision='high'`` for the fast split-bf16 scoring
+    sweep on float models.
 
     Args:
         urm: sparse (users x items) interaction matrix.
