@@ -145,6 +145,34 @@ def test_fold_opt_out_env(data, monkeypatch):
     sim.clear_caches()
 
 
+def test_fold_binary_mode_stays_int8(data, monkeypatch):
+    """binary=True binarizes BOTH matrices (reference semantics), so the
+    call rides the exact int8 path — faster than any float mode — and the
+    fold correctly stays off (-M cannot be carried in int8). The masked
+    path must agree with itself across the env knob (pure regression)."""
+    urm, w = data
+    calls = _spy_fold(monkeypatch)
+    folded, masked = _pair(urm, w, monkeypatch, k=10, binary=True)
+    assert calls and calls[0] is None  # int8 gate keeps the fold off
+    assert folded.nnz == masked.nnz
+    np.testing.assert_allclose(check_sum(folded), check_sum(masked), rtol=1e-6)
+
+
+def test_fold_positive_threshold(data, monkeypatch):
+    urm, w = data
+    folded, masked = _pair(urm, w, monkeypatch, k=10, threshold=0.5)
+    assert folded.nnz == masked.nnz
+    np.testing.assert_allclose(check_sum(folded), check_sum(masked), rtol=1e-6)
+
+
+def test_fold_csr_output_format(data, monkeypatch):
+    urm, w = data
+    folded, masked = _pair(urm, w, monkeypatch, k=10, format_output="csr")
+    assert folded.format == masked.format == "csr"
+    assert folded.nnz == masked.nnz
+    np.testing.assert_allclose(check_sum(folded), check_sum(masked), rtol=1e-6)
+
+
 def test_fold_recommend_api(data, monkeypatch):
     """sim.recommend() (exclude_seen=True) rides the fold and matches the
     masked path."""
