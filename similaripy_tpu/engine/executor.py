@@ -302,10 +302,9 @@ def _exclude_seen_fold(pre, m1, m2, params, compute_dtype, C):
       - float compute path (the fold would break int8 quantization).
 
     SIMILARIPY_TPU_FOLD_FILTER=0 disables (the masked path is always
-    available and exact). Scope: the single-device grouped executor; the
-    sharded grouped path keeps masked selectors (they shard naturally and
-    the fold's win is per-group scatter/upload elimination, which the
-    mesh already divides by device count).
+    available and exact). Scope: the single-device grouped executor AND
+    the sharded grouped path (engine/sharded.py) — both fold; the
+    env-gated legacy sharded path keeps masked selectors.
     """
     fm = pre.filter_matrix
     if (

@@ -472,6 +472,13 @@ def _execute_sharded_grouped(
             compute_dtype = "bfloat16"
         else:
             f32x3 = "rhs" if m1_exact else ("lhs" if m2_exact else "both")
+
+    # exclude-seen filter fold (same gate/penalty as the single-device
+    # executor): the recommend idiom's filter becomes m2 - M*I, so no
+    # selector staging or per-shard mask scatters happen at all
+    from .executor import _exclude_seen_fold
+
+    fold_M = _exclude_seen_fold(pre, m1, m2, params, compute_dtype, C)
     u_pad = max(_round_up(U, KB), KB)
     tc = DEFAULT_TC if compute_dtype != "float32" else DEFAULT_TC // 2
     tc = min(tc, _round_up(C, 128))
@@ -505,7 +512,7 @@ def _execute_sharded_grouped(
         "sh_m2",
         pre.fp2,
         _fingerprint(pre.Yt, pre.Yc, pre.Yd, pre.col_allowed),
-        compute_dtype, tc, n_tiles, u_pad, mesh,
+        compute_dtype, tc, n_tiles, u_pad, mesh, fold_M,
     )
     # device layout: (n_groups, C_sh*L, ...) with tiles interleaved so
     # shard c's tiles are [c*n_groups*L ... ) split across groups —
@@ -524,6 +531,13 @@ def _execute_sharded_grouped(
         m2_csc = csc_quantized(
             m2, pre.qscale2 if compute_dtype in ("int8", "int4") else None
         )
+        if fold_M is not None:
+            import scipy.sparse as _sp
+
+            eye = _sp.csc_array(
+                _sp.identity(C, dtype=np.float32, format="csc")
+            )
+            m2_csc = (m2_csc - fold_M * eye).tocsc()
         col_nnz = np.diff(m2_csc.indptr)
         tile_lists, col_map = balance_columns(col_nnz, n_tiles, tc)
         t_rows, t_cols, t_vals = _stack_m2_tiles_balanced(
@@ -633,8 +647,9 @@ def _execute_sharded_grouped(
 
     # MATRIX-mode selectors: per-(batch, row-shard) padded COO tiles under
     # the balanced column layout, sharded over BOTH mesh axes (rebuilt per
-    # call — selector matrices change every scoring batch)
-    has_filter = pre.filter_matrix is not None
+    # call — selector matrices change every scoring batch). A folded
+    # filter needs no staging at all.
+    has_filter = pre.filter_matrix is not None and fold_M is None
     has_target = pre.target_matrix is not None
     sel_batches: list = [dict() for _ in range(n_batches)]
     if has_filter or has_target:

@@ -173,6 +173,38 @@ def test_fold_csr_output_format(data, monkeypatch):
     np.testing.assert_allclose(check_sum(folded), check_sum(masked), rtol=1e-6)
 
 
+def test_fold_sharded_mesh_parity(data, monkeypatch):
+    """The sharded grouped path folds too: mesh result must match both
+    the mesh masked path and the single-device folded path."""
+    import jax
+
+    from similaripy_tpu.parallel import make_mesh
+
+    urm, w = data
+    if jax.device_count() < 4:
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh = make_mesh(rows=2, cols=2, devices=jax.devices()[:4])
+    wt = w.T.tocsr()
+    sim.clear_caches()
+    mesh_folded = sim.dot_product(urm, wt, k=10, filter_cols=urm,
+                                  mesh=mesh, verbose=False)
+    monkeypatch.setenv("SIMILARIPY_TPU_FOLD_FILTER", "0")
+    sim.clear_caches()
+    mesh_masked = sim.dot_product(urm, wt, k=10, filter_cols=urm,
+                                  mesh=mesh, verbose=False)
+    monkeypatch.delenv("SIMILARIPY_TPU_FOLD_FILTER")
+    sim.clear_caches()
+    single = sim.dot_product(urm, wt, k=10, filter_cols=urm, verbose=False)
+    sim.clear_caches()
+    assert mesh_folded.nnz == mesh_masked.nnz == single.nnz
+    np.testing.assert_allclose(
+        check_sum(mesh_folded), check_sum(mesh_masked), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        check_sum(mesh_folded), check_sum(single), rtol=1e-6
+    )
+
+
 def test_fold_recommend_api(data, monkeypatch):
     """sim.recommend() (exclude_seen=True) rides the fold and matches the
     masked path."""
