@@ -263,9 +263,49 @@ def _bf16_exact(fp, data) -> bool:
             np.array_equal(d32.astype(ml_dtypes.bfloat16).astype(np.float32), d32)
         )
         if len(_BF16_EXACT_CACHE) > 64:
-            _BF16_EXACT_CACHE.clear()
+            _BF16_EXACT_CACHE.pop(next(iter(_BF16_EXACT_CACHE)))
         _BF16_EXACT_CACHE[fp] = hit
     return hit
+
+
+def _select_f32x3_mode(pre, m1, m2, compute_dtype, precision, use_pallas):
+    """(compute_dtype, f32x3) for a general (two-matrix) fused call.
+
+    f32-HIGH runs the fused kernel in split-bf16x3 mode: the phased K
+    sweep reproduces XLA HIGH's bf16x3 (~f32 accuracy) at the bf16 MXU
+    rate / phases — ~2x Mosaic's forced-HIGHEST — while keeping the
+    fusion. When one operand is exactly bf16-representable (integer URM
+    ratings on a scoring call's m1, binary interactions, ...), its lo
+    half is identically zero: skip that phase ('rhs'/'lhs', 2 phases
+    instead of 3 — 1/3 less MXU time and rhs DMA). Both exact: a single
+    plain-bf16 phase already IS f32-HIGH (bf16 products are exact in the
+    f32 accumulator), so ride the existing bfloat16 mode outright.
+
+    Shared by the single-device and sharded grouped executors so the
+    exactness-critical selection can never diverge between them."""
+    if not (use_pallas and compute_dtype == "float32" and precision == "high"):
+        return compute_dtype, False
+    m1_exact = _bf16_exact(pre.fp1, m1.data)
+    m2_exact = _bf16_exact(pre.fp2, m2.data)
+    if m1_exact and m2_exact:
+        return "bfloat16", False
+    return compute_dtype, "rhs" if m1_exact else ("lhs" if m2_exact else "both")
+
+
+def _apply_fold(m2_csc, fold_M: float, C: int):
+    """m2 - M*I for the exclude-seen fold (see _exclude_seen_fold)."""
+    eye = sp.csc_array(sp.identity(C, dtype=np.float32, format="csc"))
+    return (m2_csc - fold_M * eye).tocsc()
+
+
+def _d_split(f32x3):
+    """Tile-side (rhs) f32-HIGH representation for _densify_group: split
+    stack for 'both'/'rhs', plain bf16 cast for 'lhs' (that side's values
+    are bf16-exact), nothing otherwise."""
+    return (
+        "split" if f32x3 in ("both", "rhs")
+        else "cast" if f32x3 == "lhs" else False
+    )
 
 
 _FOLD_STAT_CACHE: dict = {}
@@ -342,9 +382,19 @@ def _exclude_seen_fold(pre, m1, m2, params, compute_dtype, C):
             # rounded up to a power of two (exactly bf16-representable, so
             # the split/bf16 paths carry the penalty without rounding)
             bound = 4.0 * max_rowsum * max(max_w, 1.0) / rmin
-            M = 2.0 ** math.ceil(math.log2(max(bound, 2.0 ** 20)))
+            if not (bound < 2.0 ** 100):  # catches inf/nan too
+                # pathological dynamic range (e.g. a ~1e-35 rating
+                # artifact): a safe penalty would overflow f32 on the
+                # diagonal or in the products (0 * inf = NaN would poison
+                # every unseen cell) — use the masked path instead
+                M = 0.0
+            else:
+                M = 2.0 ** math.ceil(math.log2(max(bound, 2.0 ** 20)))
+                max_r = float(m1.data.max())
+                if not np.isfinite(np.float32(M * max_r * 4.0)):
+                    M = 0.0
         if len(_FOLD_STAT_CACHE) > 64:
-            _FOLD_STAT_CACHE.clear()
+            _FOLD_STAT_CACHE.pop(next(iter(_FOLD_STAT_CACHE)))
         _FOLD_STAT_CACHE[key] = M
     return M if M > 0.0 else None
 
@@ -1095,23 +1145,9 @@ def execute(
 
     # ---- fused-kernel alignment + group sizing ----
     use_pallas = _pallas_enabled()
-    # f32-HIGH runs the fused kernel in split-bf16x3 mode: the phased K
-    # sweep reproduces XLA HIGH's bf16x3 (~f32 accuracy) at the bf16 MXU
-    # rate / phases — ~2x Mosaic's forced-HIGHEST — while keeping the
-    # fusion. When one operand is exactly bf16-representable (integer URM
-    # ratings on a scoring call's m1, binary interactions, ...), its lo
-    # half is identically zero: skip that phase ('rhs'/'lhs', 2 phases
-    # instead of 3 — 1/3 less MXU time and rhs DMA). Both exact: a single
-    # plain-bf16 phase already IS f32-HIGH (bf16 products are exact in the
-    # f32 accumulator), so ride the existing bfloat16 mode outright.
-    f32x3 = False
-    if use_pallas and compute_dtype == "float32" and precision == "high":
-        m1_exact = _bf16_exact(pre.fp1, m1.data)
-        m2_exact = _bf16_exact(pre.fp2, m2.data)
-        if m1_exact and m2_exact:
-            compute_dtype = "bfloat16"
-        else:
-            f32x3 = "rhs" if m1_exact else ("lhs" if m2_exact else "both")
+    compute_dtype, f32x3 = _select_f32x3_mode(
+        pre, m1, m2, compute_dtype, precision, use_pallas
+    )
     # exclude-seen filter fold: the recommend() idiom's per-row filter
     # becomes MXU algebra (m2 - M*I) — no selector stacks, uploads or
     # mask scatters (see _exclude_seen_fold for the exactness gate)
@@ -1146,7 +1182,10 @@ def execute(
     # panel working set; every group is densified exactly once
     budget = budget_bytes if budget_bytes is not None else hbm_budget_bytes()
     dense_item = {"bfloat16": 2, "int8": 1, "int4": 1}.get(compute_dtype, 4)
-    tile_bytes = u_pad * tc * dense_item
+    # 'lhs' stores the tile side as plain bf16 (2 B) — half the f32 split
+    # stack — so budgeting 4 B/elem would halve g_tiles and double the
+    # panel re-scatters for nothing
+    tile_bytes = u_pad * tc * (2 if f32x3 == "lhs" else dense_item)
     m1_bytes = trp * u_pad * (dense_item + (2 if compute_dtype in ("int8", "int4") else 0))
     # reserve: panel working set + cached COO uploads (~12B/nnz + padding)
     # + one group's selector-tile slice (the (P, g, pf) index pairs stay
@@ -1201,10 +1240,7 @@ def execute(
             m2, pre.qscale2 if compute_dtype in ("int8", "int4") else None
         )
         if fold_M is not None:
-            eye = sp.csc_array(
-                sp.identity(C, dtype=np.float32, format="csc")
-            )
-            m2_csc = (m2_csc - fold_M * eye).tocsc()
+            m2_csc = _apply_fold(m2_csc, fold_M, C)
         col_nnz = np.diff(m2_csc.indptr)
         tile_lists, col_map = balance_columns(col_nnz, n_tiles, tc)
         t_rows, t_cols, t_vals = _stack_m2_tiles_balanced(
@@ -1393,12 +1429,7 @@ def execute(
             print(f"# {label}: {now - _t_mark:.2f}s", file=sys.stderr, flush=True)
             _t_mark = now
 
-    # the tile (rhs) side's f32-HIGH representation: split stack for
-    # 'both'/'rhs', plain bf16 for 'lhs' (its values are bf16-exact there)
-    d_split = (
-        "split" if f32x3 in ("both", "rhs")
-        else "cast" if f32x3 == "lhs" else False
-    )
+    d_split = _d_split(f32x3)
     d_stack = None
     for g in range(n_groups):
         t0, t1 = g * g_tiles, (g + 1) * g_tiles

@@ -460,24 +460,14 @@ def _execute_sharded_grouped(
 
     compute_dtype, inv_scale = resolve_compute_dtype(compute_dtype, pre)
     use_pallas = _pallas_enabled()
-    # f32-HIGH rides the fused kernel in split-bf16x3 mode; one-sided
-    # 'rhs'/'lhs' when only one operand is float (see executor.py)
-    f32x3 = False
-    if use_pallas and compute_dtype == "float32" and precision == "high":
-        from .executor import _bf16_exact
+    # f32-HIGH split-bf16x3 mode selection and the exclude-seen filter
+    # fold both come from the executor's shared helpers — the
+    # exactness-critical logic has exactly one implementation
+    from .executor import _exclude_seen_fold, _select_f32x3_mode
 
-        m1_exact = _bf16_exact(pre.fp1, m1.data)
-        m2_exact = _bf16_exact(pre.fp2, m2.data)
-        if m1_exact and m2_exact:
-            compute_dtype = "bfloat16"
-        else:
-            f32x3 = "rhs" if m1_exact else ("lhs" if m2_exact else "both")
-
-    # exclude-seen filter fold (same gate/penalty as the single-device
-    # executor): the recommend idiom's filter becomes m2 - M*I, so no
-    # selector staging or per-shard mask scatters happen at all
-    from .executor import _exclude_seen_fold
-
+    compute_dtype, f32x3 = _select_f32x3_mode(
+        pre, m1, m2, compute_dtype, precision, use_pallas
+    )
     fold_M = _exclude_seen_fold(pre, m1, m2, params, compute_dtype, C)
     u_pad = max(_round_up(U, KB), KB)
     tc = DEFAULT_TC if compute_dtype != "float32" else DEFAULT_TC // 2
@@ -493,7 +483,8 @@ def _execute_sharded_grouped(
     # group resident; group axis leads so slicing keeps the 'cols' shard
     budget = budget_bytes if budget_bytes is not None else hbm_budget_bytes()
     dense_item = {"bfloat16": 2, "int8": 1, "int4": 1}.get(compute_dtype, 4)
-    tile_bytes = u_pad * tc * dense_item
+    # 'lhs' tiles are plain bf16 (see executor._d_split)
+    tile_bytes = u_pad * tc * (2 if f32x3 == "lhs" else dense_item)
     per_dev_avail = int(budget * 0.8) - (1 << 29)
     g_tiles = max(1, per_dev_avail // max(tile_bytes, 1))
     n_tiles_min = _math.ceil(C / tc)
@@ -532,12 +523,9 @@ def _execute_sharded_grouped(
             m2, pre.qscale2 if compute_dtype in ("int8", "int4") else None
         )
         if fold_M is not None:
-            import scipy.sparse as _sp
+            from .executor import _apply_fold
 
-            eye = _sp.csc_array(
-                _sp.identity(C, dtype=np.float32, format="csc")
-            )
-            m2_csc = (m2_csc - fold_M * eye).tocsc()
+            m2_csc = _apply_fold(m2_csc, fold_M, C)
         col_nnz = np.diff(m2_csc.indptr)
         tile_lists, col_map = balance_columns(col_nnz, n_tiles, tc)
         t_rows, t_cols, t_vals = _stack_m2_tiles_balanced(
@@ -709,10 +697,9 @@ def _execute_sharded_grouped(
 
     from .executor import _densify_group
 
-    d_split = (
-        "split" if f32x3 in ("both", "rhs")
-        else "cast" if f32x3 == "lhs" else False
-    )
+    from .executor import _d_split
+
+    d_split = _d_split(f32x3)
     for g in range(n_groups):
         d_stack = _densify_group(
             tiles_dev["m2_rows"][g],

@@ -132,6 +132,19 @@ def test_fold_gate_disarms(data, monkeypatch):
     sim.clear_caches()
     sim.dot_product(neg, w.T.tocsr(), k=10, filter_cols=neg, verbose=False)
     assert calls[-1] is None
+
+    # pathological dynamic range disarms: a denormal-scale rating would
+    # push the penalty past f32 (0 * inf = NaN would poison every unseen
+    # cell) — the fold must fall back to masks, and the output must still
+    # match the masked path
+    tiny = urm.copy()
+    tiny.data = tiny.data.copy()
+    tiny.data[0] = 1e-35
+    sim.clear_caches()
+    folded = sim.dot_product(tiny, w.T.tocsr(), k=10, filter_cols=tiny,
+                             verbose=False)
+    assert calls[-1] is None
+    assert folded.nnz > 0
     sim.clear_caches()
 
 
