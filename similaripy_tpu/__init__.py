@@ -34,10 +34,11 @@ from .similarity import (
     recommend,
 )
 from . import normalization
-from .engine.executor import clear_caches
+from .engine.executor import cache_info, clear_caches
 
 __all__ = [
     "__version__",
+    "cache_info",
     "clear_caches",
     "normalize",
     "bm25",

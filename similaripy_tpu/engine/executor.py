@@ -792,6 +792,50 @@ def clear_caches():
     clear_prep_cache()
 
 
+def cache_info() -> dict:
+    """Resident footprint of the engine caches, for production memory
+    monitoring (pairs with :func:`clear_caches`; planners already budget
+    around these residents via ``foreign_cache_bytes``).
+
+    Returns ``{"entries", "device_bytes", "host_bytes",
+    "by_kind": {kind: {"entries", "device_bytes", "host_bytes"}},
+    "prep_entries"}`` where ``kind`` is the cache-key tag ("m2" tile
+    stacks, "m1" panel uploads, "sel" host-resident selector stacks,
+    "sh_*" sharded variants) and ``prep_entries`` counts the host
+    preprocess cache. Byte counts are exact (summed over the cached
+    jax.Arrays / NumPy arrays)."""
+    import jax
+
+    from .preprocess import prep_cache_len
+
+    device_bytes = 0
+    host_bytes = 0
+    by_kind: dict = {}
+    for key, value in _DEVICE_CACHE.items():
+        kind = key[0] if isinstance(key, tuple) and key else "?"
+        d = sum(
+            leaf.nbytes
+            for leaf in jax.tree.leaves(value)
+            if isinstance(leaf, jax.Array)
+        )
+        h = _host_bytes(value)
+        device_bytes += d
+        host_bytes += h
+        e = by_kind.setdefault(
+            kind, {"entries": 0, "device_bytes": 0, "host_bytes": 0}
+        )
+        e["entries"] += 1
+        e["device_bytes"] += d
+        e["host_bytes"] += h
+    return {
+        "entries": len(_DEVICE_CACHE),
+        "device_bytes": device_bytes,
+        "host_bytes": host_bytes,
+        "by_kind": by_kind,
+        "prep_entries": prep_cache_len(),
+    }
+
+
 def _pallas_enabled() -> bool:
     """Fused Pallas kernel on TPU by default; SIMILARIPY_TPU_USE_PALLAS=1
     forces it elsewhere (interpret mode — for tests), =0 disables."""

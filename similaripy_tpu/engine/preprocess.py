@@ -200,6 +200,10 @@ def clear_prep_cache():
     _PREP_CACHE.clear()
 
 
+def prep_cache_len() -> int:
+    return len(_PREP_CACHE)
+
+
 def _prep_cache_key(fp1, fp2, depop1, depop2, p1, p2, c1, c2, l1, l2, l3,
                     additive_shrink, binary):
     from .executor import _fingerprint

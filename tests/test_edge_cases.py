@@ -128,3 +128,31 @@ def test_large_k_with_pallas_forced(monkeypatch):
     ref = sim.dot_product(m, k=2048, verbose=False)
     assert got.nnz == ref.nnz, (got.nnz, ref.nnz)
     np.testing.assert_allclose(check_sum(got), check_sum(ref), rtol=1e-6)
+
+
+def test_cache_info_reflects_residents():
+    """sim.cache_info() reports entry counts and byte totals that appear
+    after a call and vanish after clear_caches()."""
+    import scipy.sparse as sp
+
+    sim.clear_caches()
+    empty = sim.cache_info()
+    assert empty["entries"] == 0 and empty["device_bytes"] == 0
+    assert empty["prep_entries"] == 0
+
+    rng = np.random.default_rng(7)
+    m = sp.random_array((300, 200), density=0.05, format="csr",
+                        dtype=np.float32, random_state=rng)
+    m.data[:] = np.round(m.data * 4) + 1.0
+    sim.dot_product(m, m.T.tocsr(), k=10, verbose=False)
+    info = sim.cache_info()
+    assert info["entries"] >= 2  # m1 panels + m2 tiles
+    assert info["device_bytes"] > 0
+    assert {"m1", "m2"} <= set(info["by_kind"])
+    assert info["prep_entries"] >= 1
+    total_by_kind = sum(e["entries"] for e in info["by_kind"].values())
+    assert total_by_kind == info["entries"]
+
+    sim.clear_caches()
+    after = sim.cache_info()
+    assert after["entries"] == 0 and after["prep_entries"] == 0
