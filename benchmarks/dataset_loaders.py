@@ -180,5 +180,24 @@ def load_urm(
             return urm, f"download:{name}"
 
     n_users, n_items, nnz = DATASETS[name]
+    # the deterministic generator costs ~1 min at ML-32M scale; cache the
+    # matrix on disk keyed by (name, seed) — same generator + seed -> same
+    # matrix, so reuse is exact (bench.py does the same for its dataset)
+    cache_npz = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f".synth_{name}_{seed}.npz",
+    )
+    if os.path.exists(cache_npz):
+        try:
+            return (
+                sp.csr_array(sp.load_npz(cache_npz)),
+                f"synthetic:{name} (no network egress, disk cache)",
+            )
+        except Exception:
+            pass
     urm = synthetic_urm(n_users=n_users, n_items=n_items, nnz=nnz, seed=seed)
+    try:
+        sp.save_npz(cache_npz, sp.csr_matrix(urm))
+    except Exception:
+        pass
     return urm, f"synthetic:{name} (no network egress)"
