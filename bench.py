@@ -161,28 +161,19 @@ def main():
     )
 
     # the deterministic synthetic URM costs 50-120s to generate; cache it
-    # on disk keyed by scale (same generator + seed -> same matrix)
-    cache_npz = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        f".bench_data_{scale}.npz",
-    )
+    # on disk keyed by scale (same generator + seed -> same matrix). The
+    # scale=1.0 file is git-tracked so driver rounds skip the regen.
+    from similaripy_tpu.utils.npz_cache import cached_npz
+
     t0 = time.perf_counter()
-    urm = None
-    if os.path.exists(cache_npz):
-        try:
-            import scipy.sparse as sp
-
-            urm = sp.csr_array(sp.load_npz(cache_npz))
-        except Exception:
-            urm = None
-    if urm is None:
-        urm = synthetic_urm(nnz=int(ML32M_NNZ * scale))
-        try:
-            import scipy.sparse as sp
-
-            sp.save_npz(cache_npz, sp.csr_matrix(urm))
-        except Exception:
-            pass
+    urm, _ = cached_npz(
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            f".bench_data_{scale}.npz",
+        ),
+        lambda: synthetic_urm(nnz=int(ML32M_NNZ * scale)),
+        expect_shape=(ML32M_USERS, ML32M_ITEMS),
+    )
     gen_s = time.perf_counter() - t0
     item_user = urm.T.tocsr()
     n_items = item_user.shape[0]

@@ -181,23 +181,24 @@ def load_urm(
 
     n_users, n_items, nnz = DATASETS[name]
     # the deterministic generator costs ~1 min at ML-32M scale; cache the
-    # matrix on disk keyed by (name, seed) — same generator + seed -> same
-    # matrix, so reuse is exact (bench.py does the same for its dataset)
-    cache_npz = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        f".synth_{name}_{seed}.npz",
+    # matrix on disk keyed by (name, seed), validated against the current
+    # DATASETS entry so an edited definition can never silently serve a
+    # stale matrix. Session-local: the round driver wipes untracked files,
+    # so this helps repeated runs within one session only.
+    from similaripy_tpu.utils.npz_cache import cached_npz
+
+    urm, hit = cached_npz(
+        # the requested nnz is part of the key (the generator dedups, so
+        # the resulting nnz is close to but not exactly the request and
+        # cannot be validated after the fact)
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            f".synth_{name}_{seed}_{nnz}.npz",
+        ),
+        lambda: synthetic_urm(
+            n_users=n_users, n_items=n_items, nnz=nnz, seed=seed
+        ),
+        expect_shape=(n_users, n_items),
     )
-    if os.path.exists(cache_npz):
-        try:
-            return (
-                sp.csr_array(sp.load_npz(cache_npz)),
-                f"synthetic:{name} (no network egress, disk cache)",
-            )
-        except Exception:
-            pass
-    urm = synthetic_urm(n_users=n_users, n_items=n_items, nnz=nnz, seed=seed)
-    try:
-        sp.save_npz(cache_npz, sp.csr_matrix(urm))
-    except Exception:
-        pass
-    return urm, f"synthetic:{name} (no network egress)"
+    suffix = ", disk cache" if hit else ""
+    return urm, f"synthetic:{name} (no network egress{suffix})"

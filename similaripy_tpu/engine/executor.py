@@ -800,13 +800,23 @@ def cache_info() -> dict:
     Returns ``{"entries", "device_bytes", "host_bytes",
     "by_kind": {kind: {"entries", "device_bytes", "host_bytes"}},
     "prep_entries"}`` where ``kind`` is the cache-key tag ("m2" tile
-    stacks, "m1" panel uploads, "sel" host-resident selector stacks,
-    "sh_*" sharded variants) and ``prep_entries`` counts the host
-    preprocess cache. Byte counts are exact (summed over the cached
-    jax.Arrays / NumPy arrays)."""
+    stacks / "m1" panel uploads / "sel" host-resident selector stacks of
+    the grouped executor, "sym_coo" symmetric-executor stackings,
+    "compact_*" union-compaction residents, "sh_*" sharded variants) and
+    ``prep_entries`` counts the host preprocess cache. Device bytes are
+    summed over every addressable shard of each cached jax.Array, so
+    mesh-replicated uploads count once per replica — the number reflects
+    real HBM residency on this process's devices, not logical array
+    size."""
     import jax
 
     from .preprocess import prep_cache_len
+
+    def _dev_bytes(leaf) -> int:
+        try:
+            return sum(s.data.nbytes for s in leaf.addressable_shards)
+        except Exception:
+            return leaf.nbytes
 
     device_bytes = 0
     host_bytes = 0
@@ -814,7 +824,7 @@ def cache_info() -> dict:
     for key, value in _DEVICE_CACHE.items():
         kind = key[0] if isinstance(key, tuple) and key else "?"
         d = sum(
-            leaf.nbytes
+            _dev_bytes(leaf)
             for leaf in jax.tree.leaves(value)
             if isinstance(leaf, jax.Array)
         )
