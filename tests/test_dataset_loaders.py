@@ -150,3 +150,33 @@ def test_example_pipeline_on_real_format_csv(tmp_path):
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "NDCG@10" in proc.stdout
     assert f"loading ratings from {csv}" in proc.stdout
+
+
+def test_cached_npz_rejects_stale_shape(tmp_path):
+    """A cached matrix whose shape no longer matches the expectation is a
+    miss: regenerated and overwritten, never silently served."""
+    import scipy.sparse as sp
+
+    from similaripy_tpu.utils.npz_cache import cached_npz
+
+    p = str(tmp_path / "c.npz")
+    gen_calls = []
+
+    def gen_small():
+        gen_calls.append(1)
+        return sp.random_array((4, 6), density=0.5, format="csr",
+                               dtype=np.float32, random_state=0)
+
+    m1, hit1 = cached_npz(p, gen_small, expect_shape=(4, 6))
+    assert not hit1 and len(gen_calls) == 1
+    m2, hit2 = cached_npz(p, gen_small, expect_shape=(4, 6))
+    assert hit2 and len(gen_calls) == 1
+    assert (m1 != m2).nnz == 0
+    # definition changed: same path, different expected shape -> miss
+    def gen_big():
+        gen_calls.append(1)
+        return sp.random_array((8, 6), density=0.5, format="csr",
+                               dtype=np.float32, random_state=0)
+
+    m3, hit3 = cached_npz(p, gen_big, expect_shape=(8, 6))
+    assert not hit3 and len(gen_calls) == 2 and m3.shape == (8, 6)
