@@ -383,6 +383,28 @@ def test_bf16_exact_detector():
     assert _bf16_exact(("t", 5), np.array([2.0, 64.0], np.float64))
 
 
+@pytest.mark.parametrize("seed", [101, 102, 103, 104])
+def test_pallas_fuzz_random_epilogue(matrix, seed):
+    """Seeded fuzz over the S-Plus parameter space: random epilogue
+    configurations through the fused kernel must match the NumPy oracle.
+    Complements the 11 hand-picked configs with arbitrary-weight ones."""
+    rng = np.random.default_rng(seed)
+    l1, l2, l3 = rng.uniform(0.0, 1.5, 3).round(2)
+    t1, t2 = rng.uniform(0.1, 1.2, 2).round(2)
+    c1, c2 = rng.uniform(0.2, 0.9, 2).round(2)
+    beta2 = round(float(rng.uniform(0.0, 0.8)), 2)
+    pop2 = "sum" if rng.random() < 0.5 else "none"
+    kw = dict(l1=float(l1), l2=float(l2), l3=float(l3), t1=float(t1),
+              t2=float(t2), c1=float(c1), c2=float(c2), alpha=1.0,
+              beta1=0.0, beta2=float(beta2), pop1="none", pop2=pop2)
+    sim.clear_caches()
+    got = sim.s_plus(matrix, k=17, verbose=False, **kw)
+    ref = py_s_plus(matrix, 17, **kw)
+    assert got.nnz == ref.tocsr().nnz
+    np.testing.assert_allclose(check_sum(got), check_sum(ref), rtol=1e-4)
+    sim.clear_caches()
+
+
 def test_pallas_carry_merge_multigroup(monkeypatch):
     """In-kernel carry merge across MULTIPLE resident tile groups on the
     general (explicit matrix2) path: the donated carry planes must thread
