@@ -405,6 +405,39 @@ def test_pallas_fuzz_random_epilogue(matrix, seed):
     sim.clear_caches()
 
 
+@pytest.mark.parametrize("seed", [201, 202, 203])
+def test_pallas_fuzz_random_selectors(matrix, seed, monkeypatch):
+    """Seeded fuzz over selector combinations (random filter/target
+    matrices, random target_rows): fused path vs the XLA path."""
+    rng = np.random.default_rng(seed)
+    n, c = matrix.shape[0], matrix.shape[0]  # self-sim output space
+    m2 = matrix.T.tocsr()
+    kw = {}
+    if rng.random() < 0.8:
+        kw["filter_cols"] = sp.random_array(
+            (n, c), density=float(rng.uniform(0.002, 0.02)), format="csr",
+            dtype=np.float32, random_state=rng,
+        )
+    if rng.random() < 0.8:
+        kw["target_cols"] = sp.random_array(
+            (n, c), density=float(rng.uniform(0.2, 0.5)), format="csr",
+            dtype=np.float32, random_state=rng,
+        )
+    if rng.random() < 0.5:
+        kw["target_rows"] = np.sort(
+            rng.choice(n, size=int(n * 0.6), replace=False)
+        )
+    sim.clear_caches()
+    got = sim.cosine(matrix, m2, k=13, verbose=False, **kw)
+    monkeypatch.setenv("SIMILARIPY_TPU_USE_PALLAS", "0")
+    sim.clear_caches()
+    ref = sim.cosine(matrix, m2, k=13, verbose=False, **kw)
+    monkeypatch.setenv("SIMILARIPY_TPU_USE_PALLAS", "1")
+    sim.clear_caches()
+    assert got.nnz == ref.nnz, (got.nnz, ref.nnz)
+    np.testing.assert_allclose(check_sum(got), check_sum(ref), rtol=1e-5)
+
+
 def test_pallas_carry_merge_multigroup(monkeypatch):
     """In-kernel carry merge across MULTIPLE resident tile groups on the
     general (explicit matrix2) path: the donated carry planes must thread
