@@ -24,8 +24,15 @@ Prints ONE JSON line:
 
 Env knobs:
   SIMILARIPY_BENCH_SCALE  fraction of ML-32M nnz (default 1.0)
-  SIMILARIPY_BENCH_ROUNDS timed rounds (default 3; best is reported —
+  SIMILARIPY_BENCH_ROUNDS timed rounds (default 5; best is reported —
     d2h through the tunnel adds ~1-2s of per-round jitter)
+  SIMILARIPY_BENCH_SETTLE_S   settle-phase budget before timing (240)
+  SIMILARIPY_BENCH_MAX_EXTRA  extra rounds while still descending (4)
+  SIMILARIPY_BENCH_MAX_RESTS / _REST_S  rest-and-retry cycles when the
+    best round is >1.2x the recorded clean-window best (2 / 75s) — the
+    defense against sustained-tunnel-load degradation
+  SIMILARIPY_BENCH_SKIP_KERNEL_GUARD=1  skip the hardware-sweep stamp
+    check (diagnosis only)
 """
 
 from __future__ import annotations
