@@ -73,12 +73,13 @@ def _download_movielens(name: str, data_dir: str = "data") -> Optional[str]:
 
 
 def _from_parquet(path: str) -> sp.csr_array:
-    """Yambda-format parquet (uid/item_id event log) -> binarized URM.
+    """Yambda-format parquet (uid/item_id event log) -> URM.
 
     Mirrors the reference's Yambda handling (reference:
-    tests/benchmarks/dataset_loaders.py:137-232): ids are remapped to
-    dense 0..n ranges, duplicate (user, item) events collapse to a single
-    1.0 interaction."""
+    tests/benchmarks/dataset_loaders.py:183-210): ids are remapped to
+    dense 0..n ranges and each event contributes 1.0, so duplicate
+    (user, item) events SUM to an event count (the reference builds COO
+    with implicit 1s and lets tocsr() collapse duplicates by addition)."""
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(path, columns=["uid", "item_id"])
@@ -91,7 +92,6 @@ def _from_parquet(path: str) -> sp.csr_array:
         shape=(len(users), len(items)),
     )
     urm.sum_duplicates()
-    urm.data[:] = 1.0  # binarized interactions
     return urm
 
 

@@ -12,6 +12,7 @@ recorded benchmark number without hardware validation.
 
 from __future__ import annotations
 
+import ast
 import hashlib
 import json
 import os
@@ -27,12 +28,55 @@ _SOURCES = (
     os.path.join(REPO, "benchmarks", "tpu_kernel_check.py"),
 )
 
+# executors whose grid/tile/shape logic decides what the kernels are asked
+# to compile on hardware (SYM_TM, KB, tc rounding, carry-plane depths, ...).
+# Their edits also invalidate the sweep — but hashed over a docstring- and
+# comment-insensitive AST dump, so annotating a measurement in a comment
+# does not force a multi-minute re-sweep while changing any actual code
+# (including a tile constant) does.
+_GEOMETRY_SOURCES = (
+    os.path.join(REPO, "similaripy_tpu", "engine", "executor.py"),
+    os.path.join(REPO, "similaripy_tpu", "engine", "symmetric.py"),
+    os.path.join(REPO, "similaripy_tpu", "engine", "compact.py"),
+    os.path.join(REPO, "similaripy_tpu", "engine", "sharded.py"),
+    os.path.join(REPO, "similaripy_tpu", "engine", "sym_sharded.py"),
+)
+
+
+def _strip_docstrings(tree: ast.AST) -> ast.AST:
+    for node in ast.walk(tree):
+        if isinstance(
+            node, (ast.Module, ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
+        ):
+            body = getattr(node, "body", None)
+            if (
+                body
+                and isinstance(body[0], ast.Expr)
+                and isinstance(body[0].value, ast.Constant)
+                and isinstance(body[0].value.value, str)
+            ):
+                node.body = body[1:] or [ast.Pass()]
+    return tree
+
+
+def _code_hash_bytes(path: str) -> bytes:
+    """Comment/docstring-insensitive content of a Python source file."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    try:
+        tree = _strip_docstrings(ast.parse(raw))
+        return ast.dump(tree, annotate_fields=False).encode()
+    except SyntaxError:  # unparsable: fall back to raw bytes
+        return raw
+
 
 def kernel_hash() -> str:
     h = hashlib.sha256()
     for path in _SOURCES:
         with open(path, "rb") as f:
             h.update(f.read())
+    for path in _GEOMETRY_SOURCES:
+        h.update(_code_hash_bytes(path))
     return h.hexdigest()[:16]
 
 

@@ -789,6 +789,11 @@ def clear_caches():
     from .preprocess import clear_prep_cache
 
     _DEVICE_CACHE.clear()
+    # the fingerprint-keyed memos (bf16-exactness, fold statistics) are
+    # bounded at 64 entries each so they never matter for memory, but the
+    # "drops every engine cache" contract includes them for consistency
+    _BF16_EXACT_CACHE.clear()
+    _FOLD_STAT_CACHE.clear()
     clear_prep_cache()
 
 

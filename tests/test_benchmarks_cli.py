@@ -151,6 +151,25 @@ def test_kernel_stamp_tracks_source_hash(tmp_path, monkeypatch):
     assert not ks.stamp_is_current()
 
 
+def test_kernel_stamp_geometry_hash(tmp_path, monkeypatch):
+    """Geometry-source CODE edits (e.g. a tile constant) invalidate the
+    stamp; comment/docstring edits do not (VERDICT r4 #5)."""
+    import kernel_stamp as ks
+
+    geo = tmp_path / "geo.py"
+    geo.write_text('"""doc."""\nSYM_TM = 512  # measured best\n')
+    monkeypatch.setattr(ks, "_GEOMETRY_SOURCES", (str(geo),))
+    monkeypatch.setattr(ks, "STAMP_PATH", str(tmp_path / "kc.stamp"))
+    ks.write_stamp("quick", "tpu")
+    assert ks.stamp_is_current()
+    # comment + docstring churn: still current (no forced re-sweep)
+    geo.write_text('"""new doc."""\nSYM_TM = 512  # re-annotated\n')
+    assert ks.stamp_is_current()
+    # a real constant change: stale
+    geo.write_text('"""new doc."""\nSYM_TM = 1024  # re-annotated\n')
+    assert not ks.stamp_is_current()
+
+
 def test_scoring_stage_end_to_end(tmp_path, capsys):
     """--stage scoring builds the model untimed, scores all users with
     filter_cols=urm, and writes a stage-tagged report."""

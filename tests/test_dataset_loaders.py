@@ -46,23 +46,25 @@ def test_movielens_csv_parse_exact():
     assert set(np.unique(urm.data)) <= {0.5 * i for i in range(1, 11)}
 
 
-def test_yambda_parquet_parse_binarized():
+def test_yambda_parquet_parse_event_counts():
     pytest.importorskip("pyarrow")
     urm = _from_parquet(os.path.join(FIXTURES, "yambda_events.parquet"))
-    # 4 users (10, 42, 77, 99), 5 items (7002, 7010, 7031, 7050)
+    # 4 users (10, 42, 77, 99), 4 items (7002, 7010, 7031, 7050)
     assert urm.shape == (4, 4)
     dense = urm.toarray()
     expected = np.array(
         [
-            [1, 1, 0, 0],  # user 10: 7002 (duplicate event collapses), 7010
+            [2, 1, 0, 0],  # user 10: 7002 twice (duplicate events SUM), 7010
             [1, 0, 1, 0],  # user 42: 7002, 7031
             [0, 1, 1, 1],  # user 77: 7010, 7031, 7050
             [0, 0, 0, 1],  # user 99: 7050
         ],
         np.float32,
     )
+    # duplicate (user, item) events sum to an event count, matching the
+    # reference's COO-with-implicit-1s -> tocsr() collapse (reference:
+    # tests/benchmarks/dataset_loaders.py:208-210)
     np.testing.assert_array_equal(dense, expected)
-    assert urm.data.max() == 1.0  # binarized, duplicates collapsed not summed
 
 
 def test_npz_roundtrip(tmp_path):
@@ -150,6 +152,76 @@ def test_example_pipeline_on_real_format_csv(tmp_path):
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "NDCG@10" in proc.stdout
     assert f"loading ratings from {csv}" in proc.stdout
+
+
+def test_download_contract_constants():
+    """Pin the real-download contract so the first networked run cannot
+    fail on a path typo (VERDICT r4 #7): URL strings, archive member
+    names, HuggingFace repo/file paths, and the recorded dataset shape
+    constants, validated against the reference loader's configuration
+    (reference: tests/benchmarks/dataset_loaders.py:21-41,274-289)."""
+    from benchmarks.dataset_loaders import (
+        _YAMBDA_REPO,
+        MOVIELENS_URLS,
+        YAMBDA_FILES,
+    )
+
+    # the contract, hard-coded (CI has no reference checkout)
+    assert MOVIELENS_URLS == {
+        "movielens_25m": (
+            "https://files.grouplens.org/datasets/movielens/ml-25m.zip",
+            "ml-25m",
+        ),
+        "movielens_32m": (
+            "https://files.grouplens.org/datasets/movielens/ml-32m.zip",
+            "ml-32m",
+        ),
+    }
+    assert _YAMBDA_REPO == "yandex/yambda"
+    assert YAMBDA_FILES == {
+        "yambda_50m": "flat/50m/multi_event.parquet",
+        "yambda_500m": "flat/500m/multi_event.parquet",
+    }
+    # published dataset shapes used for the synthetic stand-ins
+    assert DATASETS["movielens_32m"] == (200_948, 84_432, 32_000_204)
+    assert DATASETS["movielens_25m"] == (162_541, 59_047, 25_000_095)
+
+
+def test_download_contract_matches_reference_source():
+    """Cross-check the hard-coded contract against the reference loader's
+    own source when the checkout is present (skipped in CI)."""
+    ref = "/root/reference/tests/benchmarks/dataset_loaders.py"
+    if not os.path.exists(ref):
+        pytest.skip("reference checkout not available")
+    import ast
+
+    from benchmarks.dataset_loaders import (
+        _YAMBDA_REPO,
+        MOVIELENS_URLS,
+        YAMBDA_FILES,
+    )
+
+    tree = ast.parse(open(ref).read())
+    consts = {}
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Assign) and isinstance(node.targets[0], ast.Name):
+            try:
+                consts[node.targets[0].id] = ast.literal_eval(node.value)
+            except ValueError:
+                pass
+    ml = consts["MOVIELENS_CONFIGS"]
+    assert MOVIELENS_URLS["movielens_25m"] == (ml["25m"]["url"], ml["25m"]["name"])
+    assert MOVIELENS_URLS["movielens_32m"] == (ml["32m"]["url"], ml["32m"]["name"])
+    ya = consts["YAMBDA_CONFIGS"]
+    for ours, theirs in (("yambda_50m", "50m"), ("yambda_500m", "500m")):
+        assert YAMBDA_FILES[ours] == (
+            ya[theirs]["data_dir"] + "/" + ya[theirs]["data_files"]
+        )
+    # the reference loads via HF `datasets` with repo "yandex/yambda"
+    src = open(ref).read()
+    assert f'"{_YAMBDA_REPO}"' in src
+    # member name inside the MovieLens zip: <inner>/ratings.csv
+    assert "ratings.csv" in src
 
 
 def test_cached_npz_rejects_stale_shape(tmp_path):
