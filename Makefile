@@ -45,3 +45,10 @@ kernel-check:
 # report, fail on >10% throughput drop (bootstrap-pass when none exists)
 bench-gate:
 	python benchmarks/bench_gate.py
+
+# compile-cache completeness audit: run the headline bench + ML-32M
+# scoring once and fail if any program was NOT served from the
+# git-tracked .jax_cache (the driver wipes untracked entries, so a miss
+# here means a multi-minute round 0 in the next driver capture)
+cache-audit:
+	python benchmarks/cache_audit.py

@@ -187,14 +187,25 @@ def load_urm(
     # so this helps repeated runs within one session only.
     from similaripy_tpu.utils.npz_cache import cached_npz
 
+    # the ML-32M stand-in with the default seed is parameter-identical to
+    # bench.py's headline dataset, whose scale=1.0 file is git-tracked at
+    # the repo root — reuse it instead of regenerating ~90s of data into a
+    # session-local file the round driver would wipe
+    if name == "movielens_32m" and seed == 0:
+        cache_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".bench_data_1.0.npz",
+        )
+    else:
+        cache_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            f".synth_{name}_{seed}_{nnz}.npz",
+        )
     urm, hit = cached_npz(
         # the requested nnz is part of the key (the generator dedups, so
         # the resulting nnz is close to but not exactly the request and
         # cannot be validated after the fact)
-        os.path.join(
-            os.path.dirname(os.path.abspath(__file__)),
-            f".synth_{name}_{seed}_{nnz}.npz",
-        ),
+        cache_path,
         lambda: synthetic_urm(
             n_users=n_users, n_items=n_items, nnz=nnz, seed=seed
         ),

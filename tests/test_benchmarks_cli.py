@@ -170,6 +170,42 @@ def test_kernel_stamp_geometry_hash(tmp_path, monkeypatch):
     assert not ks.stamp_is_current()
 
 
+def test_cache_audit_flags_new_and_untracked_entries(tmp_path, monkeypatch, capsys):
+    """cache_audit fails when a benchmark run writes a new compile-cache
+    entry (= the tracked cache missed) or when entries sit untracked."""
+    import cache_audit as ca
+
+    cache = tmp_path / ".jax_cache"
+    cache.mkdir()
+    (cache / "jit_old-cache").write_bytes(b"x")
+    monkeypatch.setattr(ca, "CACHE_DIR", str(cache))
+    monkeypatch.setattr(ca, "_untracked_cache_files", lambda: [])
+    calls = []
+
+    def fake_run(label, cmd, env):
+        calls.append(label)
+        return 0.1
+
+    monkeypatch.setattr(ca, "_run", fake_run)
+    # all programs served: OK
+    assert ca.main([]) == 0
+    assert calls == ["headline bench", "ml32m scoring"]
+    assert "OK" in capsys.readouterr().out
+    # a run that writes a fresh entry: MISS -> fail
+    def miss_run(label, cmd, env):
+        (cache / f"jit_{label.split()[0]}-cache").write_bytes(b"y")
+        return 0.1
+
+    monkeypatch.setattr(ca, "_run", miss_run)
+    assert ca.main(["--skip-scoring"]) == 1
+    assert "MISS" in capsys.readouterr().out
+    # untracked-by-git entries fail even without a miss
+    monkeypatch.setattr(ca, "_run", fake_run)
+    monkeypatch.setattr(ca, "_untracked_cache_files", lambda: ["jit_x-cache"])
+    assert ca.main(["--skip-scoring", "--skip-headline"]) == 1
+    assert "UNTRACKED" in capsys.readouterr().out
+
+
 def test_scoring_stage_end_to_end(tmp_path, capsys):
     """--stage scoring builds the model untimed, scores all users with
     filter_cols=urm, and writes a stage-tagged report."""
