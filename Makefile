@@ -46,6 +46,17 @@ kernel-check:
 bench-gate:
 	python benchmarks/bench_gate.py
 
+# N-device scaling measurement, ready for the first multi-chip host:
+# times the headline on 1 device vs an N-device mesh, checks exactness,
+# prints measured-vs-modeled efficiency per stage (exit 3 = not enough
+# devices). Smoke variant runs anywhere on a virtual CPU mesh.
+bench-n2:
+	python benchmarks/bench_n2.py --n 2
+
+bench-n2-smoke:
+	XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+	    python benchmarks/bench_n2.py --n 2 --smoke --force-cpu --rounds 1
+
 # compile-cache completeness audit: run the headline bench + ML-32M
 # scoring once and fail if any program was NOT served from the
 # git-tracked .jax_cache (the driver wipes untracked entries, so a miss

@@ -37,13 +37,16 @@ SCATTER_NNZ_RATE = 25e6
 ICI_GBPS_ESTIMATE = 100e9
 
 
-def anatomy_table(C: int, U: int, nnz: int, n_list=(1, 2, 4, 8)) -> dict:
+def anatomy_table(C: int, U: int, nnz: int, n_list=(1, 2, 4, 8),
+                  budget: int | None = 12 << 30) -> dict:
     from similaripy_tpu.engine.sym_sharded import schedule_anatomy
 
     rows = []
     base = None
     for n in n_list:
-        a = schedule_anatomy(C, U, nnz, N=n)
+        # fixed default budget so the modeled plan (and the pinned 1-chip
+        # total the tests validate) is deterministic across hosts
+        a = schedule_anatomy(C, U, nnz, N=n, budget=budget)
         prod_max = max(a["products_per_device"])
         scat_max = max(a["scatters_per_device"])
         # modeled per-device wall time of each term

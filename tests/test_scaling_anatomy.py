@@ -89,6 +89,40 @@ def test_time_model_matches_documented_fractions(tmp_path):
     sp = [rows[n]["modeled_speedup_vs_1dev"] for n in (1, 2, 4, 8)]
     assert sp == sorted(sp)
     assert sp[-1] < 8.0
+    # PINNED: the 1-chip modeled schedule total must stay inside the
+    # MEASURED clean-window band (9.11-10.5 s warm rounds, r3; the model
+    # matched 9.9 s) — this is what makes the N>1 efficiency claim
+    # falsifiable the day multi-chip hardware shows up (VERDICT r4 #4).
+    # If a model or engine change moves this, re-validate against laps
+    # before loosening the band.
+    total_1 = rows[1]["modeled_seconds"]["total"]
+    assert 8.0 <= total_1 <= 11.5, total_1
+
+
+def test_bench_n2_harness_smoke(tmp_path):
+    """The multi-chip measurement harness (make bench-n2) runs end-to-end
+    on a virtual CPU mesh: times 1-dev vs 2-dev, check_sums the results,
+    and writes measured-vs-modeled efficiency (VERDICT r4 #4)."""
+    import json
+    import subprocess
+
+    out = tmp_path / "n2.json"
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env["PYTHONPATH"] = os.pathsep.join(
+        [REPO] + [p for p in env.get("PYTHONPATH", "").split(os.pathsep) if p]
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "benchmarks", "bench_n2.py"),
+         "--n", "2", "--smoke", "--force-cpu", "--rounds", "1",
+         "--out", str(out)],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    rep = json.loads(out.read_text())
+    assert rep["mode"] == "smoke" and rep["check_sum_ok"] is True
+    assert rep["n"] == 2 and "measured_efficiency" in rep
+    assert set(rep["best_s"]) == {"1", "2"}
 
 
 @pytest.mark.skipif(os.environ.get("CI") == "true", reason="writes reports/")
