@@ -239,6 +239,13 @@ def main():
          lambda: sim.dot_product(mf, m.T.tocsr(), k=50,
                                  compute_dtype="float32", precision="high",
                                  verbose=False), 1e-4),
+        # round 5: float-family general kernel runs tm=512/kb=1536 and the
+        # tc search may pick widths past 4096 (ML-32M scoring lands on
+        # 4224) — pin one wide-tile rhs-split case on hardware
+        ("gen f32-high rhs-split tc=4224",
+         lambda: sim.dot_product(m, mf.T.tocsr(), k=50,
+                                 compute_dtype="float32", precision="high",
+                                 block_size=4224, verbose=False), 1e-4),
     ]
     if quick:
         sym_variants = sym_variants[:2]

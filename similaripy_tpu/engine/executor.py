@@ -172,6 +172,90 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def plan_fused_groups(
+    *,
+    C: int,
+    tc: int,
+    u_pad: int,
+    trp: int,
+    k_pad: int,
+    m1_nnz: int,
+    m2_nnz: int,
+    sel_nnz: int,
+    m1_bytes: int,
+    tile_item: int,
+    budget: int,
+    foreign: int,
+    n_panels: int,
+    f32x3,
+    compute_dtype: str,
+    search: bool,
+    max_tc: int,
+    tm: int,
+) -> tuple[int, int, int, int]:
+    """Choose (tc, n_tiles_padded, g_tiles, n_groups) for the grouped sweep.
+
+    With `search`, the column-tile width is picked by minimizing a modeled
+    sweep cost over candidate widths instead of taking the fixed `tc`:
+    empty padded tiles cost full MXU products and every extra group
+    re-scatters the whole matrix1 panel set, so how C divides into tiles
+    matters more than the width itself. At ML-32M scoring geometry the
+    search lands on tc=4224 (20 exact tiles, 4 groups, 0.06% column
+    padding) instead of the fixed 2048's 44-padded-tile 4-group plan.
+    Deterministic host logic — no device probes, so plans (and compiled
+    program shapes) are stable for a given geometry + budget."""
+
+    def group_plan(tc_cand: int):
+        n_t = math.ceil(C / tc_cand)
+        tile_b = u_pad * tc_cand * tile_item
+        # reserve: panel working set + cached COO uploads (~12B/nnz +
+        # padding) + one group's selector-tile slice + whole-run carry
+        # planes + 1 GB slack (see the reserve NOTE at the call site)
+        res = (
+            m1_bytes
+            + trp * tc_cand * 16
+            + int((m1_nnz + m2_nnz) * 12 * 1.8)
+            + int(sel_nnz * 8 * 1.8)
+            + 2 * n_panels * k_pad * trp * 4
+            # one tile's densify transient: the split modes scatter the
+            # tile at bf16 and THEN build the [hi; lo] stack, so a tile's
+            # pre-split buffer is alive next to the full arena (measured:
+            # g_tiles=5 at tc=4224 ML-32M scoring ResourceExhausted
+            # without this term; 4 fits)
+            + u_pad * tc_cand * tile_item
+            + (1 << 30)
+        )
+        g = max(1, int((budget * 0.85 - res - foreign) // tile_b))
+        g = min(g, n_t)
+        # pad the tile count so every group has exactly g tiles (stable
+        # compiled shapes); the extra tiles are empty. Shrink g to the
+        # minimum for the chosen group count — the budget-driven value
+        # can overshoot by several resident GB.
+        ng = math.ceil(n_t / g)
+        g = math.ceil(n_t / ng)
+        return ng * g, g, ng
+
+    if search:
+        phases = {False: 1, "rhs": 2, "lhs": 2, True: 3, "both": 3}[f32x3]
+        rate = 30e12 if (compute_dtype == "float32" and not f32x3) else 170e12
+        ovh_rowblock = 2.5e-4  # ~0.25 ms/row-block (v5e, micro_tile_kernel)
+
+        def cost(tc_cand: int):
+            n_tp, g, ng = group_plan(tc_cand)
+            mxu = n_panels * n_tp * (2.0 * trp * u_pad * tc_cand * phases / rate)
+            ovh = n_panels * n_tp * (trp / tm) * ovh_rowblock
+            scat = ng * (m1_nnz + m2_nnz) / 40e6
+            return mxu + ovh + scat
+
+        lo = min(2048, _round_up(C, 128))
+        cands = [c for c in range(lo, max_tc + 1, 128)
+                 if c <= _round_up(C, 128)]
+        if cands:
+            tc = min(reversed(cands), key=cost)  # ties -> wider tile
+    n_tiles, g_tiles, n_groups = group_plan(tc)
+    return tc, n_tiles, g_tiles, n_groups
+
+
 def _pad_bucket(n: int, minimum: int = 1024) -> int:
     """Round sizes to coarse buckets to bound jit recompilations.
 
@@ -531,6 +615,7 @@ def _densify_group(rows, cols, vals, *, u_pad: int, tc: int,
         "flags", "k", "k_pad", "trp", "u_pad", "tc",
         "has_allowed", "has_filter", "has_target",
         "compute_dtype", "precision", "use_pallas", "f32x3",
+        "kern_tm", "kern_kb",
     ),
     donate_argnums=(9, 10),
 )
@@ -560,6 +645,8 @@ def _run_group_panels(
     precision: str,
     use_pallas: bool,
     f32x3: bool = False,
+    kern_tm: Optional[int] = None,
+    kern_kb: Optional[int] = None,
 ):
     """All panels x all group tiles in one dispatch: scan over panels,
     inner scan over the group's resident tiles."""
@@ -627,6 +714,8 @@ def _run_group_panels(
                     int8_mode=compute_dtype in ("int8", "int4"),
                     precision=prec,
                     split_f32=f32x3,
+                    tm=kern_tm,
+                    kb=kern_kb,
                     interpret=jax.default_backend() != "tpu",
                 )
                 return (new_vals, new_idx), None
@@ -1216,13 +1305,31 @@ def execute(
     # smaller panels leave more HBM for resident tile groups (each extra
     # group costs a full matrix1 re-scatter), so cap the panel height
     trp = min(trp, 2048)
+    kern_tm = kern_kb = None  # fused-kernel block overrides (None = module default)
     if use_pallas:
         from .pallas_kernels import DEFAULT_TC, KB, TM
 
-        max_tc = DEFAULT_TC if compute_dtype != "float32" else DEFAULT_TC // 2
+        if compute_dtype in ("bfloat16", "float32"):
+            # float-family products are DMA/step-overhead sensitive: each
+            # TM row-block re-streams the D tile from HBM and each grid
+            # step carries fixed cost. 512/1536 measured 11.15 -> 9.84
+            # ms/product at the ML-32M scoring shape and sits within 2.5%
+            # of the MXU bound at wide tiles (micro_tile_kernel.py); int8
+            # keeps the hardware-validated 256/768 defaults.
+            kern_tm, kern_kb = 512, 1536
+        tm_, kb_ = kern_tm or TM, kern_kb or KB
+        if compute_dtype != "float32" or f32x3:
+            # bf16-stored operands (int8/bf16/split stacks): the D block
+            # (kb x tc) double-buffered plus the (tm x tc) f32 accumulator
+            # stay under ~40 MB of the 100 MB scoped VMEM up to tc=4480,
+            # and the tc search below exploits widths past 4096 when they
+            # divide C with less padding (ML-32M: tc=4224 = 20 exact tiles)
+            max_tc = DEFAULT_TC + 384 if kern_tm else DEFAULT_TC
+        else:
+            max_tc = DEFAULT_TC // 2  # f32-stored D blocks are 2x the bytes
         tc = _round_up(min(tc, max_tc, _round_up(C, 128)), 128)
-        trp = min(_round_up(trp, TM), _round_up(T, TM))
-        u_pad = _round_up(u_pad, KB)
+        trp = min(_round_up(trp, tm_), _round_up(T, tm_))
+        u_pad = _round_up(u_pad, kb_)
         # carry planes accumulate across ALL tiles, so their depth is k
         # (clamped to the catalog), not one tile's width
         k_pad = _round_up(min(k, C), 8)
@@ -1236,6 +1343,7 @@ def execute(
             use_pallas = False
             f32x3 = False
             k_pad = k
+            kern_tm = kern_kb = None
 
     # group size: how many dense (u_pad x tc) tiles fit in HBM next to the
     # panel working set; every group is densified exactly once
@@ -1244,8 +1352,14 @@ def execute(
     # 'lhs' stores the tile side as plain bf16 (2 B) — half the f32 split
     # stack — so budgeting 4 B/elem would halve g_tiles and double the
     # panel re-scatters for nothing
-    tile_bytes = u_pad * tc * (2 if f32x3 == "lhs" else dense_item)
-    m1_bytes = trp * u_pad * (dense_item + (2 if compute_dtype in ("int8", "int4") else 0))
+    tile_item = 2 if f32x3 == "lhs" else dense_item
+    if f32x3 == "rhs":
+        panel_item = 2  # plain bf16 panel (the split side is matrix2)
+    elif f32x3 in (True, "both", "lhs"):
+        panel_item = 4  # [hi; lo] split stack, same bytes as f32
+    else:
+        panel_item = dense_item
+    m1_bytes = trp * u_pad * (panel_item + (2 if compute_dtype in ("int8", "int4") else 0))
     # reserve: panel working set + cached COO uploads (~12B/nnz + padding)
     # + one group's selector-tile slice (the (P, g, pf) index pairs stay
     # host-resident and upload per group) + the whole-run carry planes.
@@ -1263,24 +1377,25 @@ def execute(
         + (pre.target_matrix.nnz if pre.target_matrix is not None else 0)
     )
     n_panels_est = math.ceil(T / trp)
-    reserve = (
-        m1_bytes
-        + trp * tc * 16
-        + int((m1.nnz + m2.nnz) * 12 * 1.8)
-        + int(sel_nnz * 8 * 1.8)
-        + 2 * n_panels_est * k_pad * trp * 4
-        + (1 << 30)
-    )
     foreign = foreign_cache_bytes((pre.fp1, pre.fp2))
-    g_tiles = max(1, int((budget * 0.85 - reserve - foreign) // tile_bytes))
-    g_tiles = min(g_tiles, n_tiles)
-    # pad the tile count so every group has exactly g_tiles tiles (stable
-    # compiled shapes); the extra tiles are empty and contribute nothing.
-    # Shrink g_tiles to the minimum for the chosen group count — the
-    # budget-driven value can overshoot by several resident GB.
-    n_groups = math.ceil(n_tiles / g_tiles)
-    g_tiles = math.ceil(n_tiles / n_groups)
-    n_tiles = n_groups * g_tiles
+    tc, n_tiles, g_tiles, n_groups = plan_fused_groups(
+        C=C, tc=tc, u_pad=u_pad, trp=trp, k_pad=k_pad,
+        m1_nnz=m1.nnz, m2_nnz=m2.nnz, sel_nnz=sel_nnz,
+        m1_bytes=m1_bytes, tile_item=tile_item,
+        budget=budget, foreign=foreign, n_panels=n_panels_est,
+        f32x3=f32x3, compute_dtype=compute_dtype,
+        # tc SEARCH (float-family fused path with planner-chosen width):
+        # the padded tile count (empty tiles cost full MXU products) and
+        # the group count (each group re-scatters the whole matrix1 panel
+        # set) both depend on how C divides into tiles
+        search=(
+            use_pallas
+            and compute_dtype in ("bfloat16", "float32")
+            and block_size_hint == 0
+        ),
+        max_tc=max_tc if use_pallas else tc,
+        tm=tm_ if use_pallas else 256,
+    )
 
     # matrix2 tiles: balanced round-robin column layout (see balance_columns).
     # The fingerprint covers the raw CSR + dtype so cache hits skip the
@@ -1471,6 +1586,7 @@ def execute(
             f"# plan: trp={trp} tc={tc} u_pad={u_pad} n_panels={n_panels} "
             f"g_tiles={g_tiles} n_groups={n_groups} dtype={compute_dtype} "
             f"pallas={use_pallas} k_pad={k_pad} f32x3={f32x3} "
+            f"tm={kern_tm} kb={kern_kb} "
             f"fold={fold_M is not None} "
             f"prep: {_time.perf_counter() - _t_enter:.2f}s",
             file=sys.stderr, flush=True,
@@ -1546,6 +1662,8 @@ def execute(
             precision=precision,
             use_pallas=use_pallas,
             f32x3=f32x3,
+            kern_tm=kern_tm,
+            kern_kb=kern_kb,
         )
         if timing:
             np.asarray(carry_v[:1, :1, :1])  # sync so laps are honest

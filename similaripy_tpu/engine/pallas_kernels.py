@@ -541,6 +541,8 @@ def fused_tile_topk(
     int8_mode: bool,
     precision,
     split_f32=False,  # False | True/'both' | 'rhs' | 'lhs'
+    tm: int | None = None,
+    kb: int | None = None,
     interpret: bool = False,
 ):
     """Returns (vals, idx) of shape (k_pad, trp): per-row top-k_pad of the
@@ -556,13 +558,23 @@ def fused_tile_topk(
     ~2x the Mosaic-HIGHEST rate. 'both' (or True) splits both operands
     (3 phases); 'rhs'/'lhs' split only that operand (2 phases), the other
     arriving as a plain bf16 stack because its values are exactly
-    bf16-representable (see _split_maps)."""
+    bf16-representable (see _split_maps).
+
+    `tm`/`kb` override the module block sizes per call. Each row block
+    re-streams the full D tile from HBM and each grid step carries fixed
+    overhead, so bigger blocks pay off once VMEM allows: measured on v5e
+    at the ML-32M scoring shape (trp=2048, u_pad=84480, rhs split),
+    tm=512/kb=1536 runs 11.15 -> 9.84 ms/product at tc=2048 and lands
+    within 2.5% of the bf16 MXU bound at tc=4224 (vs +34% at the
+    256/768 defaults; benchmarks/micro_tile_kernel.py)."""
+    TM = tm or globals()["TM"]
+    KB = kb or globals()["KB"]
     split_mode = "both" if split_f32 is True else split_f32
     trp, u_pad = m1_dense.shape
     if split_mode in ("both", "lhs"):
         u_pad //= 2
     tc = d.shape[1]
-    assert trp % TM == 0 and u_pad % KB == 0, (trp, u_pad)
+    assert trp % TM == 0 and u_pad % KB == 0, (trp, u_pad, TM, KB)
     if split_mode:
         d_k = 2 * u_pad if split_mode in ("both", "rhs") else u_pad
         assert d.shape[0] == d_k, (d.shape, split_mode, u_pad)
