@@ -123,9 +123,13 @@ def main():
         # hermetic smoke mode: the axon sitecustomize overrides
         # JAX_PLATFORMS, so force the platform through the config
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update(
-        "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
-    )
+    # use the shared helper so the sweep warms the SAME cache keys the
+    # benchmarks read (it also drops full-traceback locations, which are
+    # part of the Mosaic payload and hence the key — see
+    # utils/env.enable_persistent_compile_cache)
+    from similaripy_tpu.utils.env import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache(os.environ["JAX_COMPILATION_CACHE_DIR"])
     import similaripy_tpu as sim
 
     print(f"backend: {jax.default_backend()}", flush=True)

@@ -64,6 +64,51 @@ VMEM_LIMIT = (
 )
 
 
+def _stable_code(fn):
+    """Recompile a kernel body at a canonical filename/line so compile-
+    cache keys survive unrelated edits to this file.
+
+    The serialized Mosaic module inside the pallas custom_call embeds the
+    source locations of every op it lowers, and those bytes are part of
+    XLA's persistent-compilation-cache key (the key's strip-debuginfo
+    pass cannot reach inside the opaque backend_config payload). Without
+    this, ANY edit anywhere in this file shifts the kernels' line numbers
+    and silently invalidates every cached Mosaic program — multi-minute
+    recompiles through the remote helper; the round-4 driver capture lost
+    its headline entries (142 s round 0) to exactly this failure mode.
+
+    Recompiling each kernel body from its own source at line 1 of a
+    synthetic file named after the function makes the embedded locations
+    (and hence the cache key) depend on the kernel's SOURCE ONLY — edits
+    to a kernel still invalidate its programs (correct), edits elsewhere
+    in the file do not. Caller-side locations (executors, index-map
+    lambdas in the wrappers) are removed by
+    jax_include_full_tracebacks_in_locations=False, set alongside the
+    persistent cache (utils/env.enable_persistent_compile_cache); both
+    measures were verified against lowered StableHLO on the TPU backend
+    (payload byte-identical under line shifts in this file AND in
+    executor.py; only real kernel-source changes alter it)."""
+    import __future__ as _future
+    import inspect
+    import textwrap
+
+    # closures would silently lose their cells when recompiled at module
+    # scope — kernel bodies are module-level and must stay closure-free
+    assert fn.__code__.co_freevars == (), (fn.__name__, fn.__code__.co_freevars)
+    src = textwrap.dedent(inspect.getsource(fn))
+    src = src[src.index("def "):]  # drop decorator lines
+    # execute against the LIVE module dict (not a copy) so the recompiled
+    # function keeps resolving globals dynamically — later rebinds (and
+    # test monkeypatching of helpers like _split_maps) stay visible
+    ns = fn.__globals__
+    # keep the module's deferred-annotation semantics without prepending
+    # a line (which would shift the canonical numbering)
+    code = compile(src, f"<{fn.__name__}>", "exec",
+                   flags=_future.annotations.compiler_flag)
+    exec(code, ns)
+    return ns[fn.__name__]
+
+
 def split_bf16x3(x, axis: int):
     """f32 -> [hi; lo] bf16 stacked along the contraction axis.
 
@@ -101,6 +146,7 @@ def split_bf16x3(x, axis: int):
     return jnp.concatenate([hi, lo], axis=axis)
 
 
+@_stable_code
 def _split_maps(n_k: int, mode: str = "both"):
     """(phases, a_sel, d_sel) K-block index maps for the bf16x3 K sweep.
 
@@ -132,6 +178,7 @@ def _split_maps(n_k: int, mode: str = "both"):
     raise ValueError(f"unknown split mode {mode!r}")
 
 
+@_stable_code
 def _epilogue_val(
     xy_acc,
     pvec_ref,
@@ -191,6 +238,7 @@ def _epilogue_val(
     return jnp.where(keep, val, NEG_INF)
 
 
+@_stable_code
 def _kernel(
     pvec_ref,  # SMEM (1, 16): a1 l1 l2 l3 t1 t2 stab bayes thr inv_scale col_base
     a_ref,  # (TM, KB) cdt
@@ -326,6 +374,7 @@ def _kernel(
         jax.lax.fori_loop(0, k_pad, merge_body, mv)
 
 
+@_stable_code
 def _panel_kernel(
     pvec_ref,  # SMEM (1, 16): a1 l1 l2 l3 t1 t2 stab bayes thr inv_scale col_base
     a_ref,  # (TM, KB) cdt — compact lhs block
@@ -414,6 +463,7 @@ def _panel_kernel(
         jax.lax.fori_loop(0, k_pad, body, val)
 
 
+@_stable_code
 def fused_panel_topk(
     a,  # (TM, K) cdt — compact panel lhs
     d,  # (K, Cg) cdt — compact rhs (hot prefix excluded; gathered cold rows)
@@ -521,6 +571,7 @@ def fused_panel_topk(
     return vals, idx
 
 
+@_stable_code
 def fused_tile_topk(
     m1_dense,  # (trp, u_pad) cdt
     d,  # (u_pad, tc) cdt
@@ -676,6 +727,7 @@ def fused_tile_topk(
     return vals, idx
 
 
+@_stable_code
 def _sym_kernel(
     pvec_ref,  # SMEM (1, 16): [0-9] standard, [10]=col_base (t*tc slot),
     #            [11]=row_base (a0*tc slot), [12]=t (tile id), [13]=a0 tile
@@ -966,6 +1018,7 @@ def sym_k_pads(k: int, tc: int, sw: int) -> tuple[int, int]:
     return k_pad, k_pad
 
 
+@_stable_code
 def fused_sym_topk(
     a,  # (sw, u_pad) cdt — anchor row stack (lhs orientation)
     d,  # (u_pad, tc) cdt — inner tile
@@ -1142,6 +1195,7 @@ SC = 512  # slot columns per scatter bin
 LC = 512  # COO entries per matmul chunk
 
 
+@_stable_code
 def _mxu_scatter_kernel(
     cnt_ref,  # SMEM (UB * SB,) i32 — live entry count per bin (prefetched)
     ps_ref,  # (LC, 1) i32 — (user_row << 16) | slot, bin-local (-1 pad)
@@ -1194,6 +1248,7 @@ def _mxu_scatter_kernel(
         out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
+@_stable_code
 def mxu_scatter(
     ps,  # (UB * SB * L, 1) i32 — packed (user_row << 16) | slot, -1 padded
     vv,  # (UB * SB * L, 1) i32/f32 — values

@@ -42,13 +42,27 @@ def enable_persistent_compile_cache(path: str) -> None:
     Through the tunneled backend a cold compile of a big program costs
     minutes; cached programs deserialize in seconds. Call before the first
     jit dispatch. An existing JAX_COMPILATION_CACHE_DIR env var wins, so
-    users can redirect or share the cache."""
+    users can redirect or share the cache.
+
+    Also drops full tracebacks from MLIR locations: the serialized Mosaic
+    kernel payload embeds op source locations INCLUDING caller frames, and
+    those bytes are part of the cache key (strip-debuginfo cannot reach
+    inside the custom_call payload) — with full tracebacks on, an edit
+    that merely shifts lines in executor.py silently invalidates every
+    cached Mosaic program. Verified on lowered StableHLO: with the flag
+    off (False), caller/wrapper line shifts leave the payload
+    byte-identical; the kernels' own positions are canonicalized
+    separately (pallas_kernels._stable_code).
+    SIMILARIPY_TPU_KEEP_TRACEBACK_LOCS=1 opts out (richer debug
+    locations, position-fragile cache keys)."""
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", path)
     import jax
 
     jax.config.update(
         "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
     )
+    if os.environ.get("SIMILARIPY_TPU_KEEP_TRACEBACK_LOCS") != "1":
+        jax.config.update("jax_include_full_tracebacks_in_locations", False)
 
 
 def hbm_budget_bytes() -> int:
