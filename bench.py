@@ -204,6 +204,12 @@ def main():
     deadline = t0 + float(os.environ.get("SIMILARIPY_BENCH_SETTLE_S", "240"))
     import jax.numpy as jnp
 
+    # the probes NEED fresh compiles (a busy remote helper is what they
+    # detect), and each probe is a distinct program by design — disable
+    # the persistent cache for the settle phase so these run-varying
+    # throwaway programs never pollute the tracked .jax_cache (they were
+    # the only misses `make cache-audit` found on a fully warmed tree)
+    jax.config.update("jax_enable_compilation_cache", False)
     while time.perf_counter() < deadline and streak < 2:
         tp = time.perf_counter()
         y = jax.jit(lambda x, _n=probes: x * (_n + 2))(
@@ -229,6 +235,7 @@ def main():
         if rate >= 14.0:
             break
         time.sleep(5)
+    jax.config.update("jax_enable_compilation_cache", True)
     print(
         f"# settle: {time.perf_counter() - t0:.1f}s ({probes} probes, "
         f"d2h {rate:.0f} MB/s)",

@@ -105,20 +105,44 @@ def main(argv=None) -> int:
         ], env)
 
     new = sorted(_cache_files() - before)
+    # tiny op-dispatch programs (dynamic_slice, broadcast_in_dim, ...)
+    # appear incidentally with run-varying shapes and recompile in under
+    # a second — only entries big enough to represent a real program
+    # (multi-second to multi-minute compiles) count as audit failures
+    min_bytes = int(os.environ.get("SIMILARIPY_AUDIT_MIN_BYTES", 64 * 1024))
+    big_new = [
+        f for f in new
+        if os.path.getsize(os.path.join(CACHE_DIR, f)) >= min_bytes
+    ]
+    small_new = [f for f in new if f not in big_new]
     untracked = _untracked_cache_files()
     ok = True
-    if new:
+    if small_new:
+        print(f"# audit: {len(small_new)} trivial new entries (<{min_bytes}B,"
+              " sub-second recompiles — informational only):", flush=True)
+        for f in small_new:
+            print(f"#   small {f}", flush=True)
+    if big_new:
         ok = False
-        print(f"# audit: {len(new)} cache MISSES (entries written by this "
+        print(f"# audit: {len(big_new)} cache MISSES (entries written by this "
               "run — the tracked cache could not serve these programs):",
               flush=True)
-        for f in new:
+        for f in big_new:
             print(f"#   MISS {f}", flush=True)
-    if untracked:
+    def _size(f: str) -> int:
+        try:
+            return os.path.getsize(
+                os.path.join(REPO, ".jax_cache", os.path.basename(f))
+            )
+        except OSError:
+            return min_bytes  # unknown: treat as significant
+
+    big_untracked = [f for f in untracked if _size(f) >= min_bytes]
+    if big_untracked:
         ok = False
-        print(f"# audit: {len(untracked)} cache files untracked by git "
+        print(f"# audit: {len(big_untracked)} cache files untracked by git "
               "(the driver wipes these between rounds):", flush=True)
-        for f in untracked:
+        for f in big_untracked:
             print(f"#   UNTRACKED {f}", flush=True)
         print("# audit: fix with  git add .jax_cache && git commit", flush=True)
     if ok:

@@ -191,14 +191,25 @@ def test_cache_audit_flags_new_and_untracked_entries(tmp_path, monkeypatch, caps
     assert ca.main([]) == 0
     assert calls == ["headline bench", "ml32m scoring"]
     assert "OK" in capsys.readouterr().out
-    # a run that writes a fresh entry: MISS -> fail
+    # a run that writes a fresh entry: MISS -> fail (sized above the
+    # trivial-program threshold; tiny op-dispatch entries are
+    # informational only)
     def miss_run(label, cmd, env):
-        (cache / f"jit_{label.split()[0]}-cache").write_bytes(b"y")
+        (cache / f"jit_{label.split()[0]}-cache").write_bytes(b"y" * (64 << 10))
         return 0.1
 
     monkeypatch.setattr(ca, "_run", miss_run)
     assert ca.main(["--skip-scoring"]) == 1
     assert "MISS" in capsys.readouterr().out
+    # a tiny fresh entry does NOT fail the audit
+    def small_run(label, cmd, env):
+        (cache / f"jit_small_{len(calls)}-cache").write_bytes(b"y")
+        calls.append(label)
+        return 0.1
+
+    monkeypatch.setattr(ca, "_run", small_run)
+    assert ca.main(["--skip-scoring"]) == 0
+    assert "trivial new entries" in capsys.readouterr().out
     # untracked-by-git entries fail even without a miss
     monkeypatch.setattr(ca, "_run", fake_run)
     monkeypatch.setattr(ca, "_untracked_cache_files", lambda: ["jit_x-cache"])
