@@ -1237,6 +1237,11 @@ def build_pvec(params: SPlusParams, inv_scale: float = 1.0) -> np.ndarray:
     )
 
 
+def _is_oom(exc: BaseException) -> bool:
+    msg = repr(exc)
+    return "RESOURCE_EXHAUSTED" in msg or "ResourceExhausted" in msg
+
+
 def execute(
     pre: Preprocessed,
     params: SPlusParams,
@@ -1247,7 +1252,71 @@ def execute(
     budget_bytes: Optional[int] = None,
     progress=None,
 ):
-    """Run the tiled similarity; returns host (T, k) vals f32 and idx int32."""
+    """Run the tiled similarity; returns host (T, k) vals f32 and idx int32.
+
+    Device OOM resilience: the planners budget HBM from a model (reserve
+    terms + measured ceilings), and a misestimate surfaces as a lazy
+    ResourceExhausted somewhere in the group loop (observed once this
+    round when a new tile geometry's split transient was unbudgeted).
+    Rather than fail the call, retry ONCE from scratch with a 25%
+    smaller budget — every planner (grouped/symmetric/compact) takes
+    budget_bytes, so the whole call replans to a smaller resident
+    working set. The except block releases the failed attempt's frames
+    BEFORE retrying (a held traceback pins the dead attempt's device
+    buffers and would re-OOM immediately)."""
+    retry_budget = None
+    try:
+        return _execute_impl(
+            pre, params,
+            block_size_hint=block_size_hint,
+            compute_dtype=compute_dtype,
+            precision=precision,
+            budget_bytes=budget_bytes,
+            progress=progress,
+        )
+    except Exception as e:
+        if not _is_oom(e):
+            raise
+        retry_budget = int(
+            (budget_bytes if budget_bytes is not None else hbm_budget_bytes())
+            * 0.75
+        )
+        import sys as _sys
+
+        print(
+            f"# similaripy_tpu: device OOM — replanning once with a "
+            f"smaller HBM budget ({retry_budget >> 20} MB)",
+            file=_sys.stderr, flush=True,
+        )
+    # out of the except block: the exception's traceback (which pins the
+    # failed attempt's device buffers through its frames) is released
+    import gc
+
+    clear_device_cache()
+    gc.collect()
+    if progress is not None and hasattr(progress, "reset"):
+        progress.reset()
+    return _execute_impl(
+        pre, params,
+        block_size_hint=block_size_hint,
+        compute_dtype=compute_dtype,
+        precision=precision,
+        budget_bytes=retry_budget,
+        progress=progress,
+    )
+
+
+def _execute_impl(
+    pre: Preprocessed,
+    params: SPlusParams,
+    *,
+    block_size_hint: Optional[int] = 0,
+    compute_dtype: str = "float32",
+    precision: str = "highest",
+    budget_bytes: Optional[int] = None,
+    progress=None,
+):
+    """Plan and run one attempt of the tiled similarity (see execute)."""
     import time as _time_mod
 
     _t_enter = _time_mod.perf_counter()

@@ -49,6 +49,11 @@ class ProgressBar:
         self.count = min(self.count + n, self.total)
         self._render()
 
+    def reset(self) -> None:
+        """Rewind the bar (the engine's OOM replan restarts the call)."""
+        self.count = 0
+        self._render(force=True)
+
     def close(self, final_desc: str = "Done") -> None:
         if self._closed:
             return
