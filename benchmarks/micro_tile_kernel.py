@@ -84,15 +84,26 @@ def main() -> int:
             split_f32="rhs", interpret=jax.default_backend() != "tpu",
         )
 
+    # MICRO_FRESH=1: feed a COLD carry every rep — the extraction runs at
+    # its worst case (n_row = k_pad survivors) instead of the chained
+    # steady state where the carry's kth prunes nearly everything. The
+    # [chained, fresh] pair brackets the real run's extraction cost.
+    fresh = os.environ.get("MICRO_FRESH") == "1"
+    cv0, ci0 = cv, ci
+
     t0 = time.perf_counter()
     cv, ci = one(a, d, cv, ci)
     np.asarray(cv[:1, :1])
-    print(f"# compile+first: {time.perf_counter() - t0:.1f}s", flush=True)
+    print(f"# compile+first: {time.perf_counter() - t0:.1f}s "
+          f"(fresh={fresh})", flush=True)
 
     for r in range(3):
         t0 = time.perf_counter()
         for _ in range(reps):
-            cv, ci = one(a, d, cv, ci)
+            if fresh:
+                cv, ci = one(a, d, cv0, ci0)
+            else:
+                cv, ci = one(a, d, cv, ci)
         np.asarray(cv[:1, :1])
         dt = (time.perf_counter() - t0) / reps
         bound_ms = 2 * 2 * trp * u_pad * tc / 170e12 * 1e3
