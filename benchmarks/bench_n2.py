@@ -42,6 +42,11 @@ def main(argv=None) -> int:
                    help="fraction of ML-32M nnz (measured mode)")
     p.add_argument("--rounds", type=int, default=3)
     p.add_argument("--k", type=int, default=100)
+    p.add_argument("--stage", default="similarity",
+                   choices=["similarity", "scoring"],
+                   help="'scoring' measures the filtered recommendation "
+                        "stage (users/s) on the mesh instead of the "
+                        "item-item build")
     p.add_argument("--smoke", action="store_true",
                    help="tiny matrix; proves the harness end-to-end on any "
                         "backend (virtual CPU mesh ok), no timing claims")
@@ -98,6 +103,27 @@ def main(argv=None) -> int:
           f"nnz={item_user.nnz:,}, backend={jax.default_backend()}, "
           f"devices={have}, mesh sizes [1, {args.n}]", flush=True)
 
+    if args.stage == "scoring":
+        # the recommendation stage: model built once (untimed, single
+        # device), then each mesh size times the filtered scoring of ALL
+        # users — the sharded grouped executor carries the MATRIX
+        # selector, and the exclude-seen fold applies on-mesh too
+        model = sim.cosine(item_user, k=args.k, verbose=False)
+
+        def work(mesh):
+            return sim.dot_product(
+                urm, model.T.tocsr(), k=10, filter_cols=urm,
+                compute_dtype="float32", precision="high",
+                verbose=False, mesh=mesh,
+            )
+
+        n_units, unit = urm.shape[0], "users"
+    else:
+        def work(mesh):
+            return sim.cosine(item_user, k=args.k, verbose=False, mesh=mesh)
+
+        n_units, unit = n_items, "items"
+
     results = {}
     sums = {}
     for n in (1, args.n):
@@ -108,10 +134,10 @@ def main(argv=None) -> int:
         w = None
         for r in range(args.rounds + 1):
             t0 = time.perf_counter()
-            w = sim.cosine(item_user, k=args.k, verbose=False, mesh=mesh)
+            w = work(mesh)
             dt = time.perf_counter() - t0
             print(f"# N={n} round {r}: {dt:.2f}s "
-                  f"({n_items / dt:.0f} items/s)", flush=True)
+                  f"({n_units / dt:.0f} {unit}/s)", flush=True)
             if r > 0:
                 times.append(dt)
         results[n] = min(times)
@@ -121,7 +147,7 @@ def main(argv=None) -> int:
             # printed next to the modeled per-stage seconds below
             os.environ["SIMILARIPY_TPU_TIMING"] = "1"
             print(f"# N={n} diagnostic round (per-stage laps):", flush=True)
-            sim.cosine(item_user, k=args.k, verbose=False, mesh=mesh)
+            work(mesh)
             os.environ.pop("SIMILARIPY_TPU_TIMING", None)
 
     # exactness: the sharded schedule must reproduce the 1-device result
@@ -130,25 +156,32 @@ def main(argv=None) -> int:
     speedup = results[1] / results[args.n]
     efficiency = speedup / args.n
 
-    from benchmarks.scaling_anatomy import anatomy_table
-
     C, U = item_user.shape
-    table = anatomy_table(C=C, U=U, nnz=item_user.nnz, n_list=(1, args.n))
-    modeled = {r["N"]: r for r in table["mesh_sizes"]}
-    m1, mN = modeled[1], modeled[args.n]
-    print("# modeled per-stage seconds (schedule replay x measured 1-chip "
-          "rates):", flush=True)
-    for n, m in ((1, m1), (args.n, mN)):
-        s = m["modeled_seconds"]
-        print(f"#   N={n}: mxu {s['mxu']:.2f}  inner-scatter "
-              f"{s['inner_scatters']:.2f}  anchor-densify "
-              f"{s['anchor_densifies_replicated']:.2f}  total "
-              f"{s['total']:.2f}", flush=True)
+    m1 = mN = None
+    if args.stage == "similarity":
+        # the schedule-replay model covers the symmetric (self-sim)
+        # executor only; scoring mode reports measured numbers alone
+        from benchmarks.scaling_anatomy import anatomy_table
+
+        table = anatomy_table(C=C, U=U, nnz=item_user.nnz, n_list=(1, args.n))
+        modeled = {r["N"]: r for r in table["mesh_sizes"]}
+        m1, mN = modeled[1], modeled[args.n]
+        print("# modeled per-stage seconds (schedule replay x measured "
+              "1-chip rates):", flush=True)
+        for n, m in ((1, m1), (args.n, mN)):
+            s = m["modeled_seconds"]
+            print(f"#   N={n}: mxu {s['mxu']:.2f}  inner-scatter "
+                  f"{s['inner_scatters']:.2f}  anchor-densify "
+                  f"{s['anchor_densifies_replicated']:.2f}  total "
+                  f"{s['total']:.2f}", flush=True)
+    modeled_note = (
+        f" (modeled {mN['modeled_speedup_vs_1dev']:.2f}x / "
+        f"{mN['modeled_efficiency']:.1%})" if mN is not None else ""
+    )
     print(
         f"# measured: 1dev {results[1]:.2f}s, {args.n}dev "
         f"{results[args.n]:.2f}s -> speedup {speedup:.2f}x, efficiency "
-        f"{efficiency:.1%} (modeled {mN['modeled_speedup_vs_1dev']:.2f}x / "
-        f"{mN['modeled_efficiency']:.1%}); check_sum "
+        f"{efficiency:.1%}{modeled_note}; check_sum "
         f"{'OK' if check_ok else 'MISMATCH'}", flush=True,
     )
 
@@ -161,6 +194,7 @@ def main(argv=None) -> int:
         json.dump(
             {
                 "mode": "smoke" if args.smoke else "measured",
+                "stage": args.stage,
                 "backend": jax.default_backend(),
                 "n": args.n,
                 "k": args.k,
@@ -168,12 +202,18 @@ def main(argv=None) -> int:
                 "best_s": {str(n): results[n] for n in results},
                 "measured_speedup": speedup,
                 "measured_efficiency": efficiency,
-                "modeled_speedup": mN["modeled_speedup_vs_1dev"],
-                "modeled_efficiency": mN["modeled_efficiency"],
-                "modeled_seconds": {
-                    "1": m1["modeled_seconds"],
-                    str(args.n): mN["modeled_seconds"],
-                },
+                "modeled_speedup": (
+                    mN["modeled_speedup_vs_1dev"] if mN is not None else None
+                ),
+                "modeled_efficiency": (
+                    mN["modeled_efficiency"] if mN is not None else None
+                ),
+                "modeled_seconds": (
+                    {
+                        "1": m1["modeled_seconds"],
+                        str(args.n): mN["modeled_seconds"],
+                    } if mN is not None else None
+                ),
                 "check_sum_ok": bool(check_ok),
             },
             f, indent=2,

@@ -124,6 +124,20 @@ def test_bench_n2_harness_smoke(tmp_path):
     assert rep["n"] == 2 and "measured_efficiency" in rep
     assert set(rep["best_s"]) == {"1", "2"}
 
+    # scoring stage: the filtered recommendation call on the mesh, exact
+    # vs single-device (no schedule model — measured numbers only)
+    out2 = tmp_path / "n2_scoring.json"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "benchmarks", "bench_n2.py"),
+         "--n", "2", "--smoke", "--force-cpu", "--rounds", "1",
+         "--stage", "scoring", "--out", str(out2)],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    rep2 = json.loads(out2.read_text())
+    assert rep2["stage"] == "scoring" and rep2["check_sum_ok"] is True
+    assert rep2["modeled_efficiency"] is None
+
 
 @pytest.mark.skipif(os.environ.get("CI") == "true", reason="writes reports/")
 def test_report_emitted():
