@@ -13,13 +13,19 @@ Usage: python examples/item_item_recommender.py [--scale 0.05]
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
 
 import numpy as np
 import scipy.sparse as sp
 
-import similaripy_tpu as sim
-from similaripy_tpu.utils.synth import synthetic_urm
+# runnable as a plain file from a source checkout (the repo root is not
+# on sys.path when python is handed examples/item_item_recommender.py)
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import similaripy_tpu as sim  # noqa: E402
+from similaripy_tpu.utils.synth import synthetic_urm  # noqa: E402
 
 
 def holdout_split(urm: sp.csr_array, n_holdout: int = 2, seed: int = 7):
