@@ -208,34 +208,38 @@ def main():
     # detect), and each probe is a distinct program by design — disable
     # the persistent cache for the settle phase so these run-varying
     # throwaway programs never pollute the tracked .jax_cache (they were
-    # the only misses `make cache-audit` found on a fully warmed tree)
+    # the only misses `make cache-audit` found on a fully warmed tree).
+    # try/finally: an error mid-settle must not leave the cache off for
+    # the benchmark rounds (minutes of recompiles, nothing written back)
     jax.config.update("jax_enable_compilation_cache", False)
-    while time.perf_counter() < deadline and streak < 2:
-        tp = time.perf_counter()
-        y = jax.jit(lambda x, _n=probes: x * (_n + 2))(
-            jnp.ones((8, 128), jnp.float32)
-        )
-        np.asarray(y)
-        streak = streak + 1 if time.perf_counter() - tp < 2.0 else 0
-        probes += 1
-    # d2h probe: degraded windows show ~7 MB/s (vs the tunnel's normal
-    # ~21 MB/s), which un-overlaps the per-pair readbacks and inflates
-    # warm rounds ~1.5x. Wait (bounded) for the rate to recover, and
-    # print it either way for diagnosis.
-    probe_fn = jax.jit(lambda: jnp.zeros((1 << 21,), jnp.int32))  # 8 MB
-    np.asarray(probe_fn())  # compile + first transfer untimed
-    rate = 0.0
-    d2h_deadline = time.perf_counter() + 120
-    while time.perf_counter() < d2h_deadline:
-        buf = probe_fn()  # fresh buffer: a repeated np.asarray of the
-        # same array returns jax's cached host copy without a transfer
-        tp = time.perf_counter()
-        np.asarray(buf)
-        rate = 8.0 / max(time.perf_counter() - tp, 1e-9)
-        if rate >= 14.0:
-            break
-        time.sleep(5)
-    jax.config.update("jax_enable_compilation_cache", True)
+    try:
+        while time.perf_counter() < deadline and streak < 2:
+            tp = time.perf_counter()
+            y = jax.jit(lambda x, _n=probes: x * (_n + 2))(
+                jnp.ones((8, 128), jnp.float32)
+            )
+            np.asarray(y)
+            streak = streak + 1 if time.perf_counter() - tp < 2.0 else 0
+            probes += 1
+        # d2h probe: degraded windows show ~7 MB/s (vs the tunnel's normal
+        # ~21 MB/s), which un-overlaps the per-pair readbacks and inflates
+        # warm rounds ~1.5x. Wait (bounded) for the rate to recover, and
+        # print it either way for diagnosis.
+        probe_fn = jax.jit(lambda: jnp.zeros((1 << 21,), jnp.int32))  # 8 MB
+        np.asarray(probe_fn())  # compile + first transfer untimed
+        rate = 0.0
+        d2h_deadline = time.perf_counter() + 120
+        while time.perf_counter() < d2h_deadline:
+            buf = probe_fn()  # fresh buffer: a repeated np.asarray of the
+            # same array returns jax's cached host copy without a transfer
+            tp = time.perf_counter()
+            np.asarray(buf)
+            rate = 8.0 / max(time.perf_counter() - tp, 1e-9)
+            if rate >= 14.0:
+                break
+            time.sleep(5)
+    finally:
+        jax.config.update("jax_enable_compilation_cache", True)
     print(
         f"# settle: {time.perf_counter() - t0:.1f}s ({probes} probes, "
         f"d2h {rate:.0f} MB/s)",

@@ -80,10 +80,15 @@ def main(argv=None) -> int:
         print(f"# audit: {len(pre_untracked)} cache files already untracked "
               "BEFORE the run (stale working tree?)", flush=True)
 
-    # inherit the environment untouched: the driver and a plain `python`
-    # both reach the real TPU, and forcing a different JAX_PLATFORMS here
-    # could change compile-cache keys away from what the driver will use
+    # inherit the environment untouched EXCEPT the cache dir: the driver
+    # and a plain `python` both reach the real TPU, and forcing a
+    # different JAX_PLATFORMS here could change compile-cache keys away
+    # from what the driver will use — but the audit watches CACHE_DIR,
+    # so the subprocesses must write there (a stray exported
+    # JAX_COMPILATION_CACHE_DIR would otherwise make every run look like
+    # a perfect hit while the tracked cache silently misses everything)
     env = dict(os.environ)
+    env["JAX_COMPILATION_CACHE_DIR"] = CACHE_DIR
     if not args.skip_headline:
         benv = dict(env)
         # one timed round, no adaptive extension, no rest cycles: the audit
@@ -132,7 +137,7 @@ def main(argv=None) -> int:
     def _size(f: str) -> int:
         try:
             return os.path.getsize(
-                os.path.join(REPO, ".jax_cache", os.path.basename(f))
+                os.path.join(CACHE_DIR, os.path.basename(f))
             )
         except OSError:
             return min_bytes  # unknown: treat as significant

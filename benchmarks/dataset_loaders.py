@@ -96,8 +96,9 @@ def _from_parquet(path: str) -> sp.csr_array:
 
 
 def _download_yambda(name: str, data_dir: str = "data") -> Optional[sp.csr_array]:
-    """Yambda from HuggingFace, binarized to 1s like the reference
-    (reference: tests/benchmarks/dataset_loaders.py:137-232)."""
+    """Yambda from HuggingFace; duplicate events sum to counts like the
+    reference (reference: tests/benchmarks/dataset_loaders.py:183-210,
+    see _from_parquet)."""
     if not _has_egress():
         return None
     try:
@@ -190,8 +191,17 @@ def load_urm(
     # the ML-32M stand-in with the default seed is parameter-identical to
     # bench.py's headline dataset, whose scale=1.0 file is git-tracked at
     # the repo root — reuse it instead of regenerating ~90s of data into a
-    # session-local file the round driver would wipe
-    if name == "movielens_32m" and seed == 0:
+    # session-local file the round driver would wipe. Gated on the FULL
+    # generator parameter tuple (not just the name): an edited DATASETS
+    # entry must never silently serve the old matrix (the requested nnz
+    # cannot be validated after the fact)
+    from similaripy_tpu.utils.synth import ML32M_ITEMS, ML32M_NNZ, ML32M_USERS
+
+    if (
+        name == "movielens_32m"
+        and seed == 0
+        and (n_users, n_items, nnz) == (ML32M_USERS, ML32M_ITEMS, ML32M_NNZ)
+    ):
         cache_path = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             ".bench_data_1.0.npz",

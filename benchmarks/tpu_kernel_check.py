@@ -253,7 +253,11 @@ def main():
     ]
     if quick:
         sym_variants = sym_variants[:2]
-        gen_variants = gen_variants[:1]
+        # keep the wide-tile rhs-split case (last entry): the float-family
+        # general kernel's tm=512/kb=1536 + tc>4096 geometry is exactly
+        # the program class a quick-mode stamp would otherwise never
+        # hardware-validate (round-5 review finding)
+        gen_variants = gen_variants[:1] + gen_variants[-1:]
 
     failures = []
     for label, call, tol in sym_variants + gen_variants:

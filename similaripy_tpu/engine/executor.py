@@ -1384,8 +1384,11 @@ def _execute_impl(
             # step carries fixed cost. 512/1536 measured 11.15 -> 9.84
             # ms/product at the ML-32M scoring shape and sits within 2.5%
             # of the MXU bound at wide tiles (micro_tile_kernel.py); int8
-            # keeps the hardware-validated 256/768 defaults.
-            kern_tm, kern_kb = 512, 1536
+            # keeps the hardware-validated 256/768 defaults. An explicit
+            # SIMILARIPY_TPU_TM/_KB env knob wins (kernel experiments
+            # must measure the configuration they asked for).
+            kern_tm = TM if "SIMILARIPY_TPU_TM" in os.environ else 512
+            kern_kb = KB if "SIMILARIPY_TPU_KB" in os.environ else 1536
         tm_, kb_ = kern_tm or TM, kern_kb or KB
         if compute_dtype != "float32" or f32x3:
             # bf16-stored operands (int8/bf16/split stacks): the D block
@@ -1396,6 +1399,15 @@ def _execute_impl(
             max_tc = DEFAULT_TC + 384 if kern_tm else DEFAULT_TC
         else:
             max_tc = DEFAULT_TC // 2  # f32-stored D blocks are 2x the bytes
+        # deep carry planes multiply the in-kernel extraction working set;
+        # mirror the symmetric executor's hardware-measured scoped-VMEM
+        # cutover (k_pad*tc <= 768*1024, symmetric.py) by narrowing the
+        # tile instead of risking a multi-minute remote-compile failure
+        # the OOM replan cannot catch (it is a compile error, not an
+        # allocation error)
+        k_pad_est = _round_up(min(k, C), 8)
+        if k_pad_est > 0:
+            max_tc = max(128, min(max_tc, ((768 * 1024 // k_pad_est) // 128) * 128))
         tc = _round_up(min(tc, max_tc, _round_up(C, 128)), 128)
         trp = min(_round_up(trp, tm_), _round_up(T, tm_))
         u_pad = _round_up(u_pad, kb_)
