@@ -247,9 +247,9 @@ def plan_fused_groups(
             scat = ng * (m1_nnz + m2_nnz) / 40e6
             return mxu + ovh + scat
 
-        lo = min(2048, _round_up(C, 128))
-        cands = [c for c in range(lo, max_tc + 1, 128)
-                 if c <= _round_up(C, 128)]
+        c_pad = _round_up(C, 128)
+        lo = min(2048, c_pad)
+        cands = range(lo, min(max_tc, c_pad) + 1, 128)
         if cands:
             tc = min(reversed(cands), key=cost)  # ties -> wider tile
     n_tiles, g_tiles, n_groups = group_plan(tc)
@@ -1399,21 +1399,19 @@ def _execute_impl(
             max_tc = DEFAULT_TC + 384 if kern_tm else DEFAULT_TC
         else:
             max_tc = DEFAULT_TC // 2  # f32-stored D blocks are 2x the bytes
+        # carry planes accumulate across ALL tiles, so their depth is k
+        # (clamped to the catalog), not one tile's width
+        k_pad = _round_up(min(k, C), 8)
         # deep carry planes multiply the in-kernel extraction working set;
         # mirror the symmetric executor's hardware-measured scoped-VMEM
         # cutover (k_pad*tc <= 768*1024, symmetric.py) by narrowing the
         # tile instead of risking a multi-minute remote-compile failure
         # the OOM replan cannot catch (it is a compile error, not an
         # allocation error)
-        k_pad_est = _round_up(min(k, C), 8)
-        if k_pad_est > 0:
-            max_tc = max(128, min(max_tc, ((768 * 1024 // k_pad_est) // 128) * 128))
+        max_tc = max(128, min(max_tc, ((768 * 1024 // k_pad) // 128) * 128))
         tc = _round_up(min(tc, max_tc, _round_up(C, 128)), 128)
         trp = min(_round_up(trp, tm_), _round_up(T, tm_))
         u_pad = _round_up(u_pad, kb_)
-        # carry planes accumulate across ALL tiles, so their depth is k
-        # (clamped to the catalog), not one tile's width
-        k_pad = _round_up(min(k, C), 8)
         n_tiles = math.ceil(C / tc)
         if k_pad > 1024:
             # Very large k: the in-kernel iterative extraction costs one
