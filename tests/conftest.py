@@ -17,6 +17,16 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
+# redirect the persistent compile cache away from the git-tracked
+# .jax_cache: tests that drive the benchmarks CLI (which enables the
+# repo-local cache for real runs) would otherwise write CPU-backend
+# entries into the tracked TPU cache on every suite run
+import tempfile  # noqa: E402
+
+os.environ["JAX_COMPILATION_CACHE_DIR"] = os.path.join(
+    tempfile.gettempdir(), "similaripy_tpu_test_jax_cache"
+)
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
