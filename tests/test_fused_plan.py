@@ -69,3 +69,29 @@ def test_search_is_deterministic():
     a = plan_fused_groups(tc=2048, search=True, max_tc=4480, **ML32M_SCORING)
     b = plan_fused_groups(tc=2048, search=True, max_tc=4480, **ML32M_SCORING)
     assert a == b
+
+
+def test_tiny_budget_degrades_to_single_tile_groups():
+    """Starved budgets must still produce a legal plan (g=1), never a
+    zero or negative group size."""
+    args = dict(ML32M_SCORING, budget=1 << 30)  # 1 GiB: reserve alone exceeds it
+    tc, n_tiles, g_tiles, n_groups = plan_fused_groups(
+        tc=2048, search=True, max_tc=4480, **args
+    )
+    assert g_tiles >= 1 and n_groups * g_tiles == n_tiles
+    assert n_tiles * tc >= args["C"]
+
+
+def test_deep_carry_vmem_cutover_narrows_tile():
+    """The executor's k_pad-aware max_tc clamp (mirroring symmetric.py's
+    k_pad*tc <= 768*1024 scoped-VMEM boundary) keeps the searched width
+    legal for deep carries."""
+    for k_pad in (8, 104, 256, 1024):
+        max_tc = max(128, min(4480, ((768 * 1024 // k_pad) // 128) * 128))
+        assert k_pad * max_tc <= 768 * 1024 or max_tc == 128
+        args = dict(ML32M_SCORING, k_pad=k_pad)
+        tc, n_tiles, g_tiles, n_groups = plan_fused_groups(
+            tc=min(2048, max_tc), search=True, max_tc=max_tc, **args
+        )
+        assert tc <= max_tc
+        assert n_groups * g_tiles == n_tiles >= 1
